@@ -1,0 +1,19 @@
+from .text import (
+    token_count,
+    char_stats,
+    quality_score,
+    lang_id,
+    doc_fingerprint,
+)
+from .vectors import cosine_similarity, dot, l2_norm
+
+__all__ = [
+    "token_count",
+    "char_stats",
+    "quality_score",
+    "lang_id",
+    "doc_fingerprint",
+    "cosine_similarity",
+    "dot",
+    "l2_norm",
+]

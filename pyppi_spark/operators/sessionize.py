@@ -1,0 +1,73 @@
+"""Gap-based sessionization — the transcript analog of the reference's
+contiguous residue runs (``/root/reference/pyPPI/resReduce.py:97-106``:
+a new run starts whenever the run key changes; here a new session starts
+whenever the inter-turn gap exceeds a threshold).
+
+Formulation: window cumulative sum over change flags — one shuffle on the
+entity key, no Python. ``session_window`` (Spark ≥3.2) is used as an
+independent cross-check in tests only; the cumsum form is the engine's
+because it yields a stable per-conversation ordinal usable as a join key.
+
+Semantics (pinned; the reference's squared-vs-unsquared cutoff confusion at
+``/root/reference/pyPPI/pdbReader.py:15`` vs ``bin/setupPpiDb.py:37`` is the
+cautionary tale): a turn starts a NEW session iff ``ts - prev_ts > gap_s``
+(strictly greater — a gap of exactly ``gap_s`` stays in-session). Units are
+seconds on both sides. ``session_id`` is 0-based per conversation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+DEFAULT_GAP_S = 1800.0
+
+
+def _order_window(conv_col: str, ts_col: str, idx_col: str):
+    return Window.partitionBy(conv_col).orderBy(ts_col, idx_col)
+
+
+def new_session_flag(
+    ts_col: str = "ts",
+    gap_s: float = DEFAULT_GAP_S,
+    w=None,
+) -> Column:
+    prev = F.lag(F.col(ts_col)).over(w)
+    gap = F.col(ts_col).cast("double") - prev.cast("double")
+    return F.when(prev.isNull() | (gap > F.lit(float(gap_s))), F.lit(1)).otherwise(F.lit(0))
+
+
+def with_session_id(
+    df: DataFrame,
+    gap_s: float = DEFAULT_GAP_S,
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+    idx_col: str = "turn_idx",
+    out_col: str = "session_id",
+) -> DataFrame:
+    """Add 0-based ``session_id`` and 1-based ``turn_in_session``.
+
+    One window (= one shuffle on ``conv_col``); both outputs share it, so
+    Catalyst plans a single sort + exchange.
+    """
+    w = _order_window(conv_col, ts_col, idx_col)
+    flag = new_session_flag(ts_col, gap_s, w)
+    cum = Window.partitionBy(conv_col).orderBy(ts_col, idx_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    df = df.withColumn(out_col, (F.sum(flag).over(cum) - F.lit(1)).cast("long"))
+    sess_w = Window.partitionBy(conv_col, out_col).orderBy(ts_col, idx_col)
+    return df.withColumn("turn_in_session", F.row_number().over(sess_w).cast("long"))
+
+
+def session_bounds(
+    df_with_sessions: DataFrame,
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Per-session summary rows (start/end/length) — partial-agg friendly."""
+    return df_with_sessions.groupBy(conv_col, session_col).agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("session_len"),
+    )

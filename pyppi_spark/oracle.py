@@ -1,0 +1,105 @@
+"""Single-node pandas/numpy oracle — the reference implementation every
+Spark plan is checked against (``SURVEY.md`` §5.3: the reference ships no
+tests, so we create the oracle).
+
+Deliberately written in plain pandas group-at-a-time style — an independent
+code path from the Spark plans (different sort, different cumsum, different
+percentile source) so agreement is evidence, not tautology.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+ROLE_SET = ["user", "assistant", "system", "tool"]
+DEFAULT_GAP_S = 1800.0
+
+
+def _sorted(pdf: pd.DataFrame) -> pd.DataFrame:
+    return pdf.sort_values(["conv_id", "ts", "turn_idx"], kind="mergesort").reset_index(drop=True)
+
+
+def oracle_turn_features(pdf: pd.DataFrame, gap_s: float = DEFAULT_GAP_S) -> pd.DataFrame:
+    df = _sorted(pdf).copy()
+    g = df.groupby("conv_id", sort=False)
+    # Spark timestamps are microsecond-precision; `cast(ts as double)` is
+    # us/1e6 — reproduce exactly (int64-ns → float64 directly would be lossy
+    # above 2^53 ns)
+    ts_s = (df["ts"].astype("int64") // 1000).astype("float64") / 1e6
+    df["_ts_s"] = ts_s
+    df["gap_prev_s"] = g["_ts_s"].diff()
+    df["gap_next_s"] = -g["_ts_s"].diff(-1)
+    df["prev_role"] = g["role"].shift(1)
+    df["next_role"] = g["role"].shift(-1)
+    new_sess = df["gap_prev_s"].isna() | (df["gap_prev_s"] > gap_s)
+    df["session_id"] = new_sess.groupby(df["conv_id"], sort=False).cumsum().astype("int64") - 1
+    df["turn_in_session"] = (
+        df.groupby(["conv_id", "session_id"], sort=False).cumcount().astype("int64") + 1
+    )
+    df["tool_ffill"] = g["tool"].ffill()
+    df["prev_role"] = df["prev_role"].where(df["prev_role"].notna(), None)
+    df["next_role"] = df["next_role"].where(df["next_role"].notna(), None)
+    return df[
+        [
+            "conv_id", "turn_idx", "ts", "session_id", "prev_role", "next_role",
+            "gap_prev_s", "gap_next_s", "tool_ffill", "turn_in_session", "text",
+            "role", "tool",
+        ]
+    ]
+
+
+def oracle_conv_features(pdf: pd.DataFrame, gap_s: float = DEFAULT_GAP_S) -> pd.DataFrame:
+    tf = oracle_turn_features(pdf, gap_s)
+    rows = []
+    for cid, g in tf.groupby("conv_id", sort=True):
+        rec: dict = {"conv_id": cid, "n_turns": len(g)}
+        rec["n_sessions"] = int(g["session_id"].max()) + 1
+        for r in ROLE_SET:
+            rec[f"n_{r}"] = int((g["role"] == r).sum())
+        for a in ROLE_SET:
+            for b in ROLE_SET:
+                rec[f"t_{a}__{b}"] = int(((g["prev_role"] == a) & (g["role"] == b)).sum())
+        gaps = g["gap_prev_s"].dropna().to_numpy()
+        rec["latency_mean_s"] = float(gaps.mean()) if len(gaps) else None
+        rec["latency_max_s"] = float(gaps.max()) if len(gaps) else None
+        # linear-interpolation percentile == Spark SQL percentile()
+        rec["latency_p95_s"] = float(np.percentile(gaps, 95)) if len(gaps) else None
+        rec["first_ts"] = g["ts"].min()
+        rec["last_ts"] = g["ts"].max()
+        rec["session_len_max"] = int(g["turn_in_session"].max())
+        rec["n_distinct_tools"] = int(g["tool"].dropna().nunique())
+        rec["session_len_mean"] = float(
+            g.groupby("session_id").size().mean()
+        )
+        rows.append(rec)
+    return pd.DataFrame(rows)
+
+
+def oracle_asof(
+    probes: pd.DataFrame,
+    build: pd.DataFrame,
+    payload: list[str],
+    inclusive: bool = True,
+    prefix: str = "matched_",
+) -> pd.DataFrame:
+    """Brute-force as-of: for each probe row scan all build rows of the conv —
+    O(n·m), deliberately naive (no merge_asof: that is what the engine's
+    cross-check path uses)."""
+    out_rows = []
+    bg = {k: v.sort_values(["ts", "turn_idx"], kind="mergesort") for k, v in build.groupby("conv_id")}
+    for _, p in probes.iterrows():
+        g = bg.get(p["conv_id"])
+        rec = dict(p)
+        match = None
+        if g is not None:
+            if inclusive:
+                elig = g[g["ts"] <= p["probe_ts"]]
+            else:
+                elig = g[g["ts"] < p["probe_ts"]]
+            if len(elig):
+                match = elig.iloc[-1]
+        for c in payload:
+            rec[f"{prefix}{c}"] = match[c] if match is not None else None
+        out_rows.append(rec)
+    return pd.DataFrame(out_rows)

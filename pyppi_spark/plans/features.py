@@ -1,0 +1,95 @@
+"""Flagship feature-extraction plans.
+
+``turn_features``: per-turn rows (FIXTURES.md §5) — session id, lag/lead,
+gaps, tool forward-fill, text passthrough. The analog of the reference's
+per-atom tables (``perAtomASA``/``interfacePeriphrial``,
+``/root/reference/pyPPI/sqls/createDB.sql:25-41,176-186``).
+
+``conv_features``: per-conversation feature vector (FIXTURES.md §4) — turn
+counts by role, session stats, directed role-transition bigram counts (the
+analog of the reference's *directed* H-bond donor→acceptor pair counting,
+``/root/reference/pyPPI/hbonds.py:174-181``), inter-turn latency aggregates
+(the analog of its distance/energy aggregates,
+``/root/reference/pyPPI/surfaceComplementarity/VDW.py:183-199``).
+
+Plan shape: ONE shuffle on ``conv_id`` feeds every window (same partition
+key + ordering ⇒ Catalyst reuses the exchange/sort), then per-conv features
+are a single partial+final hash aggregation on top. All expressions are
+JVM-side; zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..operators.sessionize import DEFAULT_GAP_S, with_session_id
+from ..operators.lag_lead import with_lag_lead, with_gaps
+from ..operators.backfill import ffill
+
+ROLE_SET = ["user", "assistant", "system", "tool"]
+
+
+def turn_features(
+    transcripts: DataFrame,
+    gap_s: float = DEFAULT_GAP_S,
+) -> DataFrame:
+    df = with_session_id(transcripts, gap_s=gap_s)
+    df = with_lag_lead(df, ["role"], offsets=(-1, 1))
+    df = with_gaps(df)
+    df = ffill(df, ["tool"])
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        "session_id",
+        "prev_role",
+        "next_role",
+        "gap_prev_s",
+        "gap_next_s",
+        "tool_ffill",
+        "turn_in_session",
+        "text",
+        "role",
+        "tool",
+    )
+
+
+def conv_features(
+    transcripts: DataFrame,
+    gap_s: float = DEFAULT_GAP_S,
+) -> DataFrame:
+    tf = turn_features(transcripts, gap_s=gap_s)
+
+    role_counts = [
+        F.sum(F.when(F.col("role") == r, 1).otherwise(0)).alias(f"n_{r}")
+        for r in ROLE_SET
+    ]
+    # directed role→role bigrams, fixed 4×4 flattening
+    bigrams = [
+        F.sum(
+            F.when((F.col("prev_role") == a) & (F.col("role") == b), 1).otherwise(0)
+        ).alias(f"t_{a}__{b}")
+        for a in ROLE_SET
+        for b in ROLE_SET
+    ]
+
+    return tf.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        (F.max("session_id") + 1).alias("n_sessions"),
+        *role_counts,
+        *bigrams,
+        F.avg("gap_prev_s").alias("latency_mean_s"),
+        F.max("gap_prev_s").alias("latency_max_s"),
+        F.expr("percentile(gap_prev_s, 0.95)").alias("latency_p95_s"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.max("turn_in_session").alias("session_len_max"),
+        # distinct directed tool transitions need the ffilled tool lag — cheap
+        # proxy: count of non-null tool values and distinct tools
+        F.countDistinct("tool").alias("n_distinct_tools"),
+    ).withColumn(
+        # mean session length over a conversation's sessions is exactly
+        # total turns / session count — no second aggregation subtree needed
+        "session_len_mean",
+        F.col("n_turns").cast("double") / F.col("n_sessions").cast("double"),
+    )

@@ -1,0 +1,67 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults chosen for a 1000-executor / 100 TB deployment and scaled down by
+environment for local testing:
+
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing) — the
+  engine's inputs are Zipf-skewed conversations, the analog of the reference's
+  few huge PDB complexes dominating its per-entity loop
+  (``/root/reference/bin/setupPpiDb.py:163``).
+- Arrow on, bounded batch size — all custom kernels are pandas/Arrow UDFs.
+- Explicit shuffle partitions — sized from env so tests use local core count
+  while production submits its own ``--conf``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_spark(
+    app_name: str = "pyppi_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) a SparkSession with the engine's standard config.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32) so
+    the same entry points serve pytest, bench, and spark-submit (where the
+    cluster master wins because the builder only sets master when asked).
+    """
+    # Make the package importable by Python workers regardless of the
+    # driver's cwd. Local mode: workers inherit PYTHONPATH; cluster mode:
+    # spark-submit --py-files dist/pyppi_spark.zip is the supported path
+    # (see README run recipe) and this is a harmless no-op.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + pp if pp else "")
+        )
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(cpus)))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
