@@ -1,38 +1,599 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from ``SURVEY.md`` §2
+through the pyppi_spark engine, over the driver's testdata tables; the
+matching ``oracle_sql()`` entry is the ANSI-SQL ground truth DuckDB runs on
+the same parquet.
+
+Cross-engine float policy: every double output is ``round(x, 6)`` on BOTH
+sides; timestamps are exported as integer epoch microseconds
+(``unix_micros`` / ``epoch_us``) so value hashes are type- and
+representation-stable.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from pyppi_spark.operators import (
+    asof_join,
+    exact_dedup,
+    ffill,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    range_join,
+    simhash64,
+    with_session_id,
+)
+from pyppi_spark.functions import lang_id, quality_score, token_count
+from pyppi_spark.functions.text import char_stats
+from pyppi_spark.functions.vectors import cosine_similarity
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+SESSION_GAP_S = 1800.0
+
+
+def _us(col) -> F.Column:
+    """Epoch microseconds (int64) — parquet NTZ timestamps need an explicit
+    cast before unix_micros under Spark 4; session tz is UTC so the mapping
+    equals DuckDB's epoch_us on naive timestamps."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+# ---------------------------------------------------------------- helpers
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def _events_as_transcripts(ev: DataFrame) -> DataFrame:
+    """Map the events stream onto the engine's transcript shape
+    (user→conversation, event→turn)."""
+    return ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.when(F.col("event_type") == "click", F.lit("pointer")).alias("tool"),
+        F.col("ts"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full per-conversation feature vectors (sessionization +
+    lag/lead transitions + latency aggregates) over sf0.001 events mapped to
+    the transcript schema."""
+    from pyppi_spark.plans import conv_features
+
+    t = _events_as_transcripts(_events(spark, "/root/testdata/sf0.001"))
+    return conv_features(t)
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 sessionization → per-session bounds (SURVEY §2.5 W4, §2.4 A3)."""
+    ev = _events(spark, sf_dir)
+    s = with_session_id(
+        ev, gap_s=SESSION_GAP_S, conv_col="user_id", ts_col="ts", idx_col="event_id"
+    )
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            _us(F.min("ts")).alias("session_start_us"),
+            _us(F.max("ts")).alias("session_end_us"),
+            F.count(F.lit(1)).alias("session_len"),
+        )
+        .select("user_id", F.col("session_id").cast("long").alias("session_id"),
+                "session_start_us", "session_end_us", "session_len")
+    )
+
+
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2 offset features + inter-event gaps (SURVEY §2.5)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = _us("ts")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lag("event_type", 2).over(w).alias("prev2_type"),
+        F.round((t - F.lag(t).over(w)) / 1e6, 6).alias("gap_prev_s"),
+    )
+
+
+def q_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 backfill: last click value carried forward per user (SURVEY §2.5 W5)."""
+    ev = _events(spark, sf_dir).withColumn(
+        "click_value", F.when(F.col("event_type") == "click", F.col("value"))
+    )
+    out = ffill(ev, ["click_value"], conv_col="user_id", ts_col="ts", idx_col="event_id")
+    return out.select(
+        "user_id",
+        "event_id",
+        F.round("click_value_ffill", 6).alias("click_value_ffill"),
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J10 point-in-time join: for each error event, the latest click
+    at-or-before it (SURVEY §2.3 J2)."""
+    ev = _events(spark, sf_dir)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by("value", "event_id").alias("value"),
+            F.max("event_id").alias("click_event_id"),
+        )
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("error_id")
+    )
+    out = asof_join(
+        errors,
+        clicks,
+        probe_ts="ts",
+        build_ts="ts",
+        by=("user_id",),
+        payload=["value", "click_event_id"],
+        inclusive=True,
+        tiebreak="click_event_id",
+        prefix="last_click_",
+    )
+    return out.select(
+        "user_id",
+        _us("ts").alias("error_ts_us"),
+        "error_id",
+        F.round("last_click_value", 6).alias("last_click_value"),
+        F.col("last_click_click_event_id").alias("last_click_event_id"),
+    )
+
+
+def q_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3-A7 per-entity feature vector: counts by type, directed type-bigram
+    transition counts (J12/A5 analog), latency aggregates, session count."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = _us("ts")
+    s = with_session_id(
+        ev, gap_s=SESSION_GAP_S, conv_col="user_id", ts_col="ts", idx_col="event_id"
+    )
+    s = s.withColumn("prev_type", F.lag("event_type").over(w)).withColumn(
+        "gap_s", (t - F.lag(t).over(w)) / 1e6
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("session_id") + 1).cast("long").alias("n_sessions"),
+        F.countDistinct("event_type").alias("n_distinct_types"),
+        F.round(F.avg("gap_s"), 6).alias("gap_mean_s"),
+        F.round(F.max("gap_s"), 6).alias("gap_max_s"),
+        F.round(F.expr("percentile(gap_s, 0.95)"), 6).alias("gap_p95_s"),
+        _us(F.min("ts")).alias("first_ts_us"),
+        _us(F.max("ts")).alias("last_ts_us"),
+    ]
+    for et in EVENT_TYPES:
+        aggs.append(
+            F.sum(F.when(F.col("event_type") == et, 1).otherwise(0)).alias(f"n_{et}")
+        )
+    for a in EVENT_TYPES:
+        for b in EVENT_TYPES:
+            aggs.append(
+                F.sum(
+                    F.when(
+                        (F.col("prev_type") == a) & (F.col("event_type") == b), 1
+                    ).otherwise(0)
+                ).alias(f"t_{a}__{b}")
+            )
+    return s.groupBy("user_id").agg(*aggs)
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 band join: events within ±300 s of each error event of the same
+    user, counted (self excluded); zero-neighbor errors kept (SURVEY §2.3 J1)."""
+    ev = _events(spark, sf_dir)
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("error_id")
+    )
+    neigh = range_join(
+        errors,
+        ev.select("user_id", "ts", "event_id"),
+        before=300.0,
+        after=300.0,
+        by=("user_id",),
+    )
+    counts = (
+        neigh.where(F.col("r_event_id") != F.col("l_error_id"))
+        .groupBy(F.col("l_error_id").alias("error_id"))
+        .agg(F.count(F.lit(1)).alias("n_neighbors"))
+    )
+    return (
+        errors.join(counts, "error_id", "left")
+        .select(
+            "user_id",
+            "error_id",
+            F.coalesce("n_neighbors", F.lit(0)).alias("n_neighbors"),
+        )
+    )
+
+
+def q_spread_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 analog (NinterfaceAtoms): per (user, type) value spread with
+    HAVING stddev > 0 (/root/reference/pyPPI/sqls/createInterface.sql:2-5)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.round(F.max("value") - F.min("value"), 6).alias("value_spread"),
+            F.round(F.stddev("value"), 6).alias("value_std"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .where(F.col("value_std") > 0)
+    )
+
+
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 semi + J7/J8 anti joins: users with a high-value purchase (>100) but no severe error (value>200)."""
+    ev = _events(spark, sf_dir)
+    purchasers = ev.where((F.col("event_type") == "purchase") & (F.col("value") > 100)).select("user_id")
+    erroring = ev.where((F.col("event_type") == "error") & (F.col("value") > 200)).select("user_id")
+    base = ev.select("user_id").distinct()
+    return (
+        base.join(purchasers, "user_id", "left_semi")
+        .join(erroring, "user_id", "left_anti")
+        .select("user_id")
+    )
+
+
+def q_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 broadcast dimension join (donor/acceptor matrix analog): weight per
+    event type, weighted value sum per user."""
+    ev = _events(spark, sf_dir)
+    dim = ev.sparkSession.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 5.0), ("signup", 3.0), ("error", -2.0)],
+        "event_type string, weight double",
+    )
+    return (
+        ev.join(F.broadcast(dim), "event_type", "inner")
+        .groupBy("user_id")
+        .agg(F.round(F.sum(F.col("value") * F.col("weight")), 6).alias("weighted_value"))
+    )
+
+
+def q_min_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/O2 top-1 per group: the event carrying each user's max value
+    (ties → max event_id), via window row_number (min_by/max_by analog)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("user_id", F.col("event_id").alias("top_event_id"),
+                F.round("value", 6).alias("top_value"))
+    )
+
+
+def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General partial+final hash aggregation (TPC-H Q1 shape) — the A3/A4
+    sum-per-entity pattern at relational scale."""
+    li = _lineitem(spark, sf_dir)
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup on documents: survivor doc_ids (min id per
+    normalized text) — U2 union-with-key-dedup analog."""
+    docs = _documents(spark, sf_dir)
+    return exact_dedup(docs, text_col="text", id_col="doc_id").select("doc_id")
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis functions: token count, char ratios, quality score,
+    language-ID heuristic, content fingerprint (md5 for oracle parity)."""
+    docs = _documents(spark, sf_dir)
+    cs = char_stats("text")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        cs["n_chars"].alias("n_chars"),
+        F.round(cs["alpha_ratio"], 6).alias("alpha_ratio"),
+        F.round(cs["digit_ratio"], 6).alias("digit_ratio"),
+        quality_score("text").alias("quality"),
+        lang_id("text").alias("lang_pred"),
+        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias("fingerprint"),
+    )
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline over embeddings: top 10
+    neighbors for query vectors vec_id < 5 (broadcast query side)."""
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    pairs = emb.alias("c").join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_similarity(F.col("qe"), F.col("e")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select("query_id", "neighbor_id", F.col("rk").cast("long").alias("rk"),
+                F.round("cos", 6).alias("cos_sim"))
+    )
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs on documents (no SQL oracle —
+    signature hashing not expressible in DuckDB; driver rows-only check)."""
+    docs = _documents(spark, sf_dir)
+    sigs = minhash_signatures(docs, num_hashes=64, shingle_n=3, seed=42)
+    return minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash64 fingerprints (no SQL oracle — xxhash64 not in DuckDB;
+    rows-only check)."""
+    docs = _documents(spark, sf_dir)
+    return simhash64(docs)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "sessionize": q_sessionize,
+        "lag_lead": q_lag_lead,
+        "backfill": q_backfill,
+        "asof_join": q_asof_join,
+        "user_features": q_user_features,
+        "range_join": q_range_join,
+        "spread_agg": q_spread_agg,
+        "semi_anti": q_semi_anti,
+        "broadcast_dim": q_broadcast_dim,
+        "min_by": q_min_by,
+        "tpch_pricing": q_tpch_pricing,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "similarity_topk": q_similarity_topk,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracles
+
+_SESSION_CTE = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR (epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1e6 > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessioned AS (
+  SELECT *, (sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)::BIGINT AS session_id
+  FROM flagged
+)
+"""
+
+
+def _user_features_sql() -> str:
+    type_counts = ",\n  ".join(
+        f"sum(CASE WHEN event_type = '{et}' THEN 1 ELSE 0 END)::BIGINT AS n_{et}"
+        for et in EVENT_TYPES
+    )
+    bigrams = ",\n  ".join(
+        f"sum(CASE WHEN prev_type = '{a}' AND event_type = '{b}' THEN 1 ELSE 0 END)::BIGINT AS t_{a}__{b}"
+        for a in EVENT_TYPES
+        for b in EVENT_TYPES
+    )
+    return f"""
+{_SESSION_CTE}, enriched AS (
+  SELECT *,
+         lag(event_type) OVER w AS prev_type,
+         (epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1e6 AS gap_s
+  FROM sessioned
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+  count(*)::BIGINT AS n_events,
+  (max(session_id) + 1)::BIGINT AS n_sessions,
+  count(DISTINCT event_type)::BIGINT AS n_distinct_types,
+  round(avg(gap_s), 6) AS gap_mean_s,
+  round(max(gap_s), 6) AS gap_max_s,
+  round(quantile_cont(gap_s, 0.95), 6) AS gap_p95_s,
+  epoch_us(min(ts)) AS first_ts_us,
+  epoch_us(max(ts)) AS last_ts_us,
+  {type_counts},
+  {bigrams}
+FROM enriched
+GROUP BY user_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pyppi_spark.functions.text import LANG_MARKERS
+
+    lang_scores = []
+    for lang in sorted(LANG_MARKERS):
+        terms = " + ".join(
+            f"((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', '{m}', ''))) / {len(m)})::BIGINT"
+            for m in LANG_MARKERS[lang]
+        )
+        lang_scores.append(f"({terms})")
+    langs = sorted(LANG_MARKERS)
+    score_cols = ", ".join(f"{expr} AS s_{l}" for expr, l in zip(lang_scores, langs))
+    m_expr = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    lang_case = (
+        "CASE WHEN " + m_expr + " = 0 THEN 'und' "
+        + " ".join(f"WHEN s_{l} = {m_expr} THEN '{l}'" for l in langs[:-1])
+        + f" ELSE '{langs[-1]}' END"
+    )
+
+    return {
+        "sessionize": _SESSION_CTE
+        + """
+SELECT user_id, session_id,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) AS session_end_us,
+       count(*)::BIGINT AS session_len
+FROM sessioned
+GROUP BY user_id, session_id
+""",
+        "lag_lead": """
+SELECT user_id, event_id,
+       lag(event_type) OVER w AS prev_type,
+       lead(event_type) OVER w AS next_type,
+       lag(event_type, 2) OVER w AS prev2_type,
+       round((epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1e6, 6) AS gap_prev_s
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+        "backfill": """
+SELECT user_id, event_id,
+       round(last_value(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS click_value_ffill
+FROM events
+""",
+        "asof_join": """
+WITH clicks AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS value, max(event_id) AS click_event_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), errors AS (
+  SELECT user_id, ts, event_id AS error_id FROM events WHERE event_type = 'error'
+)
+SELECT e.user_id, epoch_us(e.ts) AS error_ts_us, e.error_id,
+       round(c.value, 6) AS last_click_value,
+       c.click_event_id AS last_click_event_id
+FROM errors e ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts >= c.ts
+""",
+        "user_features": _user_features_sql(),
+        "range_join": """
+WITH errors AS (
+  SELECT user_id, ts, event_id AS error_id FROM events WHERE event_type = 'error'
+), counts AS (
+  SELECT e.error_id, count(*)::BIGINT AS n_neighbors
+  FROM errors e JOIN events v
+    ON e.user_id = v.user_id
+   AND v.ts >= e.ts - INTERVAL 300 SECOND
+   AND v.ts <= e.ts + INTERVAL 300 SECOND
+   AND v.event_id != e.error_id
+  GROUP BY e.error_id
+)
+SELECT e.user_id, e.error_id, coalesce(c.n_neighbors, 0)::BIGINT AS n_neighbors
+FROM errors e LEFT JOIN counts c ON e.error_id = c.error_id
+""",
+        "spread_agg": """
+SELECT user_id, event_type,
+       round(max(value) - min(value), 6) AS value_spread,
+       round(stddev_samp(value), 6) AS value_std,
+       count(*)::BIGINT AS n
+FROM events
+GROUP BY user_id, event_type
+HAVING round(stddev_samp(value), 6) > 0
+""",
+        "semi_anti": """
+SELECT DISTINCT user_id FROM events
+WHERE user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 100)
+  AND user_id NOT IN (SELECT user_id FROM events WHERE event_type = 'error' AND value > 200)
+""",
+        "broadcast_dim": """
+WITH dim(event_type, weight) AS (
+  VALUES ('click', 1.0), ('view', 0.5), ('purchase', 5.0), ('signup', 3.0), ('error', -2.0)
+)
+SELECT e.user_id, round(sum(e.value * d.weight), 6) AS weighted_value
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY e.user_id
+""",
+        "min_by": """
+SELECT user_id, event_id AS top_event_id, round(value, 6) AS top_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS rk
+  FROM events
+) WHERE rk = 1
+""",
+        "tpch_pricing": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "dedup_exact": r"""
+SELECT min(doc_id) AS doc_id
+FROM documents
+GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+""",
+        "text_stats": rf"""
+SELECT doc_id,
+  (CASE WHEN length(trim(text)) = 0 THEN 0
+        ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS n_tokens,
+  length(text)::BIGINT AS n_chars,
+  round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+        / greatest(length(text), 1), 6) AS alpha_ratio,
+  round(length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE
+        / greatest(length(text), 1), 6) AS digit_ratio,
+  round(0.4 * least(length(text) / 200.0, 1.0)
+      + 0.4 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / greatest(length(text), 1))
+      + 0.2 * (1.0 - least((length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / greatest(length(text), 1)) * 4.0, 1.0)), 6) AS quality,
+  {lang_case} AS lang_pred,
+  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM (SELECT doc_id, text, {score_cols} FROM (SELECT doc_id, text FROM documents))
+""",
+        "similarity_topk": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ce FROM embeddings
+), s AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qe, ce) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) AS cos
+  FROM q CROSS JOIN c WHERE query_id != neighbor_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+  FROM s
+)
+SELECT query_id, neighbor_id, rk::BIGINT AS rk, round(cos, 6) AS cos_sim
+FROM r WHERE rk <= 10
+""",
+        # minhash_lsh, simhash: intentionally no oracle (xxhash64-based
+        # signatures are not expressible in DuckDB) → driver rows-only check.
+    }

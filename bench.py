@@ -1,0 +1,92 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is forced end-to-end with a ``noop``-format write (full
+computation, no driver collect). The flagship metric is feature-extraction
+throughput in turns/sec over the events stream mapped to the transcript
+schema (the BASELINE.json north metric, sandbox scale).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame
+
+import __spark_entry__ as entrymod
+from pyppi_spark.session import build_spark
+from pyppi_spark.plans import conv_features, turn_features
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "sessionize",
+    "lag_lead",
+    "backfill",
+    "asof_join",
+    "user_features",
+    "range_join",
+    "spread_agg",
+    "broadcast_dim",
+    "tpch_pricing",
+    "dedup_exact",
+    "text_stats",
+    "similarity_topk",
+    "minhash_lsh",
+]
+
+
+def force(df: DataFrame) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = build_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    qs = entrymod.queries()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        force(qs[name](spark, SF_DIR))
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    # flagship: full per-turn + per-conversation feature extraction
+    ev = entrymod._events(spark, SF_DIR)
+    n_turns = ev.count()
+    t = entrymod._events_as_transcripts(ev)
+    t0 = time.perf_counter()
+    force(turn_features(t))
+    force(conv_features(t))
+    feat_dt = time.perf_counter() - t0
+    timings["feature_extraction"] = round(feat_dt, 3)
+    total += feat_dt
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "turns": n_turns,
+                "turns_per_sec_feature_extraction": round(n_turns / feat_dt, 1),
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,18 @@
+"""Time-axis math helpers.
+
+Spark 4 forbids ``cast(timestamp_ntz as double)``; route through
+``unix_micros`` after normalizing to TIMESTAMP (session tz is pinned to UTC
+by the session factory, so NTZ→TZ is the identity wall-clock mapping and
+matches DuckDB's ``epoch_us`` on naive timestamps exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def epoch_seconds(col: str | Column) -> Column:
+    """Microsecond-exact epoch seconds as double: unix_micros(ts)/1e6 —
+    the same integer-division-by-1e6 double DuckDB's epoch_us/1e6 yields."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp")) / F.lit(1e6)

@@ -8,7 +8,7 @@ family: exact hash dedup, MinHash+LSH, SimHash, and n-gram Jaccard.
 
 All hashing is JVM-side (``xxhash64``/``hash``/built-in array functions);
 no Python in the hot path. MinHash uses the universal-hash family
-``h_i(x) = (a_i * x + b_i) mod p`` over 64-bit xxhash shingle values with
+``h_i(x) = (a_i * x + b_i) mod p`` (p = 2^31-1) over xxhash64 shingle values with
 seeded constants, so signatures are deterministic and portable across runs
 and cluster sizes.
 """
@@ -19,7 +19,9 @@ import numpy as np
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-MERSENNE_P = (1 << 61) - 1
+# 31-bit Mersenne prime: a_i, b_i, h < 2^31 keeps a_i*h < 2^62 — no int64
+# overflow under Spark's ANSI arithmetic
+MERSENNE_P = (1 << 31) - 1
 
 
 def _normalize(col):
@@ -76,26 +78,32 @@ def minhash_signatures(
     """Per-document MinHash signature: array<long> of length ``num_hashes``.
 
     sig[i] = min over shingles s of (a_i * xxhash64(s) + b_i) mod p.
-    Entirely JVM-side: higher-order array functions over the shingle array.
+
+    Physical shape: explode shingles → one ``min`` aggregate per hash
+    function in a single hash aggregation keyed on the doc id. This keeps
+    every expression in whole-stage codegen (64 nested higher-order array
+    functions instead would explode codegen/compile time) and gets map-side
+    partial aggregation for free — at 100 TB the shuffle carries only
+    64 longs per (doc, partition), not the shingle sets.
     """
     a, b = _minhash_coeffs(num_hashes, seed)
-    sh = F.array_distinct(shingles(text_col, shingle_n))
-    hashed = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P)))
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    hashed,
-                    lambda h, ai=a[i], bi=b[i]: F.pmod(
-                        F.pmod(F.lit(ai) * h, F.lit(MERSENNE_P)) + F.lit(bi),
-                        F.lit(MERSENNE_P),
-                    ),
-                )
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("_s"),
+    ).select(F.col(id_col), F.pmod(F.xxhash64("_s"), F.lit(MERSENNE_P)).alias("_h"))
+    mins = [
+        F.min(
+            F.pmod(
+                F.pmod(F.lit(a[i]) * F.col("_h"), F.lit(MERSENNE_P)) + F.lit(b[i]),
+                F.lit(MERSENNE_P),
             )
-            for i in range(num_hashes)
-        ]
+        ).alias(f"_m{i}")
+        for i in range(num_hashes)
+    ]
+    agg = exploded.groupBy(id_col).agg(*mins)
+    return agg.select(
+        F.col(id_col), F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("minhash")
     )
-    return df.select(F.col(id_col), sig.alias("minhash"))
 
 
 def minhash_lsh_candidates(
@@ -146,24 +154,32 @@ def simhash64(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """64-bit SimHash over word tokens: per bit, sum ±1 weighted by token
-    hash bit, sign → bit. Expressed with JVM array ops (aggregate over the
-    token array) — no Python."""
-    words = F.split(_normalize(F.col(text_col)), " ")
-    hashes = F.transform(words, lambda t: F.xxhash64(t))
-    bits = []
+    """64-bit SimHash over word tokens: per bit, sum of ±1 signs of the
+    token-hash bit; sign of the sum → output bit.
+
+    Physical shape: explode tokens → 64 ``sum`` aggregates in one hash
+    aggregation (codegen-friendly, map-side partials), then assemble the
+    64-bit word with shiftleft/bitwiseOR in a final projection.
+    """
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(F.split(_normalize(F.col(text_col)), " ")).alias("_t"),
+    ).select(F.col(id_col), F.xxhash64("_t").alias("_h"))
+    sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{bit}")
+        for bit in range(64)
+    ]
+    agg = exploded.groupBy(id_col).agg(*sums)
+    sim = F.lit(0).cast("long")
     for bit in range(64):
-        contrib = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h, b=bit: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"_b{bit}") > 0, F.shiftleft(F.lit(1).cast("long"), bit)).otherwise(
+                F.lit(0).cast("long")
+            )
         )
-        bits.append(F.when(contrib > 0, F.lit(1).cast("long") << bit).otherwise(F.lit(0).cast("long")))
-    sim = bits[0]
-    for x in bits[1:]:
-        sim = sim.bitwiseOR(x)
-    return df.select(F.col(id_col), sim.alias("simhash"))
+    return agg.select(F.col(id_col), sim.alias("simhash"))
 
 
 def ngram_jaccard_pairs(

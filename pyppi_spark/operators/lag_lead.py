@@ -15,6 +15,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..functions.time import epoch_seconds
+
 
 def with_lag_lead(
     df: DataFrame,
@@ -53,7 +55,7 @@ def with_gaps(
     conversation edges) — the time-axis analog of the reference's
     nearest-neighbor distances (``/root/reference/pyPPI/kdtree.py:38-48``)."""
     w = Window.partitionBy(conv_col).orderBy(ts_col, idx_col)
-    t = F.col(ts_col).cast("double")
+    t = epoch_seconds(ts_col)
     return df.withColumn(prev_col, t - F.lag(t).over(w)).withColumn(
         next_col, F.lead(t).over(w) - t
     )

@@ -24,6 +24,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.time import epoch_seconds
+
 
 def range_join(
     left: DataFrame,
@@ -51,20 +53,20 @@ def range_join(
 
     l = left.select(
         *by,
-        F.floor(F.col(left_ts).cast("double") / F.lit(width)).alias("_bkt"),
-        F.col(left_ts).cast("double").alias("_lt"),
+        F.floor(epoch_seconds(left_ts) / F.lit(width)).alias("_bkt"),
+        epoch_seconds(left_ts).alias("_lt"),
         *[F.col(c).alias(f"{left_prefix}{c}") for c in l_payload],
     )
     r = right.select(
         *by,
         F.explode(
             F.array(
-                F.floor(F.col(right_ts).cast("double") / F.lit(width)) - 1,
-                F.floor(F.col(right_ts).cast("double") / F.lit(width)),
-                F.floor(F.col(right_ts).cast("double") / F.lit(width)) + 1,
+                F.floor(epoch_seconds(right_ts) / F.lit(width)) - 1,
+                F.floor(epoch_seconds(right_ts) / F.lit(width)),
+                F.floor(epoch_seconds(right_ts) / F.lit(width)) + 1,
             )
         ).alias("_bkt"),
-        F.col(right_ts).cast("double").alias("_rt"),
+        epoch_seconds(right_ts).alias("_rt"),
         *[F.col(c).alias(f"{right_prefix}{c}") for c in r_payload],
     )
 

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ..functions.time import epoch_seconds
+
 DEFAULT_GAP_S = 1800.0
 
 
@@ -32,7 +34,7 @@ def new_session_flag(
     w=None,
 ) -> Column:
     prev = F.lag(F.col(ts_col)).over(w)
-    gap = F.col(ts_col).cast("double") - prev.cast("double")
+    gap = epoch_seconds(F.col(ts_col)) - epoch_seconds(prev)
     return F.when(prev.isNull() | (gap > F.lit(float(gap_s))), F.lit(1)).otherwise(F.lit(0))
 
 
