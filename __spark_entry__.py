@@ -206,6 +206,54 @@ def q_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.groupBy("user_id").agg(*aggs)
 
 
+def q_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship PIT snapshot: for each purchase event, the user's cumulative
+    activity state at-or-before that moment (zero leakage) — cumulative
+    windows + as-of join (pyppi_spark.plans.pit composition)."""
+    from pyppi_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t = _us("ts") / 1e6
+    gap = t - F.lag(t).over(w)
+    state = (
+        ev.withColumn("_gap", gap)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.row_number().over(w).cast("long").alias("n_so_far"),
+            F.round(F.sum("_gap").over(cum) / F.count("_gap").over(cum), 6).alias("gap_mean_so_far_s"),
+            F.round(F.max("_gap").over(cum), 6).alias("gap_max_so_far_s"),
+            F.col("event_type").alias("last_type"),
+        )
+    )
+    probes = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("probe_id")
+    )
+    out = asof_join(
+        probes,
+        state,
+        probe_ts="ts",
+        build_ts="ts",
+        by=("user_id",),
+        payload=["n_so_far", "gap_mean_so_far_s", "gap_max_so_far_s", "last_type"],
+        inclusive=True,
+        tiebreak="event_id",
+        prefix="",
+    )
+    return out.select(
+        "user_id",
+        _us("ts").alias("probe_ts_us"),
+        "probe_id",
+        "n_so_far",
+        "gap_mean_so_far_s",
+        "gap_max_so_far_s",
+        "last_type",
+    )
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 band join: events within ±300 s of each error event of the same
     user, counted (self excluded); zero-neighbor errors kept (SURVEY §2.3 J1)."""
@@ -373,6 +421,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "pit_features": q_pit_features,
         "sessionize": q_sessionize,
         "lag_lead": q_lag_lead,
         "backfill": q_backfill,
@@ -464,6 +513,30 @@ def oracle_sql() -> dict[str, str]:
     )
 
     return {
+        "pit_features": """
+WITH gapped AS (
+  SELECT user_id, ts, event_id, event_type,
+         (epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1e6 AS gap_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), state AS (
+  SELECT user_id, ts, event_id,
+         row_number() OVER w AS n_so_far,
+         round(sum(gap_s) OVER cum / count(gap_s) OVER cum, 6) AS gap_mean_so_far_s,
+         round(max(gap_s) OVER cum, 6) AS gap_max_so_far_s,
+         event_type AS last_type
+  FROM gapped
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+         cum AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), probes AS (
+  SELECT user_id, ts, event_id AS probe_id FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, epoch_us(p.ts) AS probe_ts_us, p.probe_id,
+       s.n_so_far::BIGINT AS n_so_far,
+       s.gap_mean_so_far_s, s.gap_max_so_far_s, s.last_type
+FROM probes p ASOF LEFT JOIN state s ON p.user_id = s.user_id AND p.ts >= s.ts
+""",
         "sessionize": _SESSION_CTE
         + """
 SELECT user_id, session_id,

@@ -26,6 +26,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 HEADLINE = [
+    "pit_features",
     "sessionize",
     "lag_lead",
     "backfill",

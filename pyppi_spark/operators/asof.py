@@ -138,7 +138,10 @@ def asof_join_merge(
         sort_keys = [build_ts] + ([tiebreak] if tiebreak else [])
         right = right.sort_values(sort_keys, kind="mergesort")
         left = left.sort_values([probe_ts], kind="mergesort")
-        r = right[[build_ts] + payload].rename(columns={c: f"{prefix}{c}" for c in payload})
+        # keep build_ts once even when it also appears in payload (prefix="")
+        r_cols = [build_ts] + [c for c in payload if c != build_ts]
+        rename = {c: f"{prefix}{c}" for c in payload if f"{prefix}{c}" != c}
+        r = right[r_cols].rename(columns=rename)
         m = pd.merge_asof(
             left,
             r,
@@ -147,7 +150,7 @@ def asof_join_merge(
             direction="backward",
             allow_exact_matches=inclusive,
         )
-        if build_ts != probe_ts and build_ts in m.columns:
+        if build_ts != probe_ts and build_ts in m.columns and build_ts not in out_names:
             m = m.drop(columns=[build_ts])
         return m[out_names]
 

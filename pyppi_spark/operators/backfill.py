@@ -14,17 +14,19 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .sessionize import _keys
+
 
 def ffill(
     df: DataFrame,
     cols: Sequence[str],
-    conv_col: str = "conv_id",
+    conv_col="conv_id",
     ts_col: str = "ts",
     idx_col: str = "turn_idx",
     suffix: str = "_ffill",
 ) -> DataFrame:
     w = (
-        Window.partitionBy(conv_col)
+        Window.partitionBy(*_keys(conv_col))
         .orderBy(ts_col, idx_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -37,13 +39,13 @@ def ffill(
 def bfill(
     df: DataFrame,
     cols: Sequence[str],
-    conv_col: str = "conv_id",
+    conv_col="conv_id",
     ts_col: str = "ts",
     idx_col: str = "turn_idx",
     suffix: str = "_bfill",
 ) -> DataFrame:
     w = (
-        Window.partitionBy(conv_col)
+        Window.partitionBy(*_keys(conv_col))
         .orderBy(ts_col, idx_col)
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )

@@ -16,19 +16,20 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.time import epoch_seconds
+from .sessionize import _keys
 
 
 def with_lag_lead(
     df: DataFrame,
     cols: Sequence[str],
     offsets: Sequence[int] = (-1, 1),
-    conv_col: str = "conv_id",
+    conv_col="conv_id",
     ts_col: str = "ts",
     idx_col: str = "turn_idx",
 ) -> DataFrame:
     """Add ``prev_<col>`` / ``next_<col>`` (or ``<col>_m<k>``/``_p<k>`` for
     |offset| > 1). Negative offset = lag (past), positive = lead (future)."""
-    w = Window.partitionBy(conv_col).orderBy(ts_col, idx_col)
+    w = Window.partitionBy(*_keys(conv_col)).orderBy(ts_col, idx_col)
     out = df
     for c in cols:
         for k in offsets:
@@ -45,7 +46,7 @@ def with_lag_lead(
 
 def with_gaps(
     df: DataFrame,
-    conv_col: str = "conv_id",
+    conv_col="conv_id",
     ts_col: str = "ts",
     idx_col: str = "turn_idx",
     prev_col: str = "gap_prev_s",
@@ -54,7 +55,7 @@ def with_gaps(
     """Inter-turn latency in seconds to the previous and next turn (null at
     conversation edges) — the time-axis analog of the reference's
     nearest-neighbor distances (``/root/reference/pyPPI/kdtree.py:38-48``)."""
-    w = Window.partitionBy(conv_col).orderBy(ts_col, idx_col)
+    w = Window.partitionBy(*_keys(conv_col)).orderBy(ts_col, idx_col)
     t = epoch_seconds(ts_col)
     return df.withColumn(prev_col, t - F.lag(t).over(w)).withColumn(
         next_col, F.lead(t).over(w) - t

@@ -24,8 +24,15 @@ from ..functions.time import epoch_seconds
 DEFAULT_GAP_S = 1800.0
 
 
-def _order_window(conv_col: str, ts_col: str, idx_col: str):
-    return Window.partitionBy(conv_col).orderBy(ts_col, idx_col)
+def _keys(conv_col) -> list:
+    """Accept a single key or a composite (e.g. ["_bkt", "conv_id"] for the
+    balanced-bucket layout — the bucket id is a pure function of conv_id, so
+    prepending it never changes semantics, only physical distribution)."""
+    return [conv_col] if isinstance(conv_col, str) else list(conv_col)
+
+
+def _order_window(conv_col, ts_col: str, idx_col: str):
+    return Window.partitionBy(*_keys(conv_col)).orderBy(ts_col, idx_col)
 
 
 def new_session_flag(
@@ -41,7 +48,7 @@ def new_session_flag(
 def with_session_id(
     df: DataFrame,
     gap_s: float = DEFAULT_GAP_S,
-    conv_col: str = "conv_id",
+    conv_col="conv_id",
     ts_col: str = "ts",
     idx_col: str = "turn_idx",
     out_col: str = "session_id",
@@ -53,22 +60,22 @@ def with_session_id(
     """
     w = _order_window(conv_col, ts_col, idx_col)
     flag = new_session_flag(ts_col, gap_s, w)
-    cum = Window.partitionBy(conv_col).orderBy(ts_col, idx_col).rowsBetween(
+    cum = Window.partitionBy(*_keys(conv_col)).orderBy(ts_col, idx_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     df = df.withColumn(out_col, (F.sum(flag).over(cum) - F.lit(1)).cast("long"))
-    sess_w = Window.partitionBy(conv_col, out_col).orderBy(ts_col, idx_col)
+    sess_w = Window.partitionBy(*_keys(conv_col), out_col).orderBy(ts_col, idx_col)
     return df.withColumn("turn_in_session", F.row_number().over(sess_w).cast("long"))
 
 
 def session_bounds(
     df_with_sessions: DataFrame,
-    conv_col: str = "conv_id",
+    conv_col="conv_id",
     ts_col: str = "ts",
     session_col: str = "session_id",
 ) -> DataFrame:
     """Per-session summary rows (start/end/length) — partial-agg friendly."""
-    return df_with_sessions.groupBy(conv_col, session_col).agg(
+    return df_with_sessions.groupBy(*_keys(conv_col), session_col).agg(
         F.min(ts_col).alias("session_start"),
         F.max(ts_col).alias("session_end"),
         F.count(F.lit(1)).alias("session_len"),

@@ -76,6 +76,54 @@ def oracle_conv_features(pdf: pd.DataFrame, gap_s: float = DEFAULT_GAP_S) -> pd.
     return pd.DataFrame(rows)
 
 
+def oracle_pit_features(
+    probes: pd.DataFrame,
+    transcripts: pd.DataFrame,
+    gap_s: float = DEFAULT_GAP_S,
+) -> pd.DataFrame:
+    """Recompute-from-prefix oracle for PIT features: for each probe, slice
+    the conversation to ``ts <= probe_ts`` and compute every feature from
+    scratch on the prefix — an independent formulation of the engine's
+    incremental cumulative-window state (leakage-free by construction)."""
+    t = _sorted(transcripts)
+    t["_ts_s"] = (t["ts"].astype("int64") // 1000).astype("float64") / 1e6
+    groups = {k: v for k, v in t.groupby("conv_id", sort=False)}
+    rows = []
+    for _, p in probes.iterrows():
+        rec = dict(p)
+        g = groups.get(p["conv_id"])
+        prefix = None
+        if g is not None:
+            prefix = g[g["ts"] <= p["probe_ts"]]
+        if prefix is None or prefix.empty:
+            rec.update(
+                {
+                    "ts": None,
+                    "n_turns_so_far": None,
+                    "n_sessions_so_far": None,
+                    "gap_mean_so_far_s": None,
+                    "gap_max_so_far_s": None,
+                    "last_role": None,
+                    "last_tool": None,
+                    "time_since_last_turn_s": None,
+                }
+            )
+        else:
+            gaps = prefix["_ts_s"].diff().dropna()
+            rec["ts"] = prefix["ts"].iloc[-1]
+            rec["n_turns_so_far"] = len(prefix)
+            rec["n_sessions_so_far"] = int((gaps > gap_s).sum()) + 1
+            rec["gap_mean_so_far_s"] = float(gaps.mean()) if len(gaps) else None
+            rec["gap_max_so_far_s"] = float(gaps.max()) if len(gaps) else None
+            rec["last_role"] = prefix["role"].iloc[-1]
+            tools = prefix["tool"].dropna()
+            rec["last_tool"] = tools.iloc[-1] if len(tools) else None
+            p_s = (pd.Timestamp(p["probe_ts"]).value // 1000) / 1e6
+            rec["time_since_last_turn_s"] = p_s - prefix["_ts_s"].iloc[-1]
+        rows.append(rec)
+    return pd.DataFrame(rows)
+
+
 def oracle_asof(
     probes: pd.DataFrame,
     build: pd.DataFrame,

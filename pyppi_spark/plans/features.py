@@ -28,16 +28,29 @@ from ..operators.backfill import ffill
 
 ROLE_SET = ["user", "assistant", "system", "tool"]
 
+BUCKET_COL = "_bkt"
+
+
+def _conv_key(df: DataFrame) -> list[str] | str:
+    """Layout-aware partition key: when the input carries the balanced-bucket
+    column (pyppi_spark.io), windows partition on (_bkt, conv_id) so the
+    storage HashPartitioning(_bkt) satisfies the distribution — zero
+    shuffle, balanced tasks. Semantics are identical (_bkt is a function of
+    conv_id)."""
+    return [BUCKET_COL, "conv_id"] if BUCKET_COL in df.columns else "conv_id"
+
 
 def turn_features(
     transcripts: DataFrame,
     gap_s: float = DEFAULT_GAP_S,
 ) -> DataFrame:
-    df = with_session_id(transcripts, gap_s=gap_s)
-    df = with_lag_lead(df, ["role"], offsets=(-1, 1))
-    df = with_gaps(df)
-    df = ffill(df, ["tool"])
+    key = _conv_key(transcripts)
+    df = with_session_id(transcripts, gap_s=gap_s, conv_col=key)
+    df = with_lag_lead(df, ["role"], offsets=(-1, 1), conv_col=key)
+    df = with_gaps(df, conv_col=key)
+    df = ffill(df, ["tool"], conv_col=key)
     return df.select(
+        *([BUCKET_COL] if isinstance(key, list) else []),
         "conv_id",
         "turn_idx",
         "ts",
@@ -58,6 +71,7 @@ def conv_features(
     transcripts: DataFrame,
     gap_s: float = DEFAULT_GAP_S,
 ) -> DataFrame:
+    bucketed = BUCKET_COL in transcripts.columns
     tf = turn_features(transcripts, gap_s=gap_s)
 
     role_counts = [
@@ -73,7 +87,8 @@ def conv_features(
         for b in ROLE_SET
     ]
 
-    return tf.groupBy("conv_id").agg(
+    group_keys = [BUCKET_COL, "conv_id"] if bucketed else ["conv_id"]
+    out = tf.groupBy(*group_keys).agg(
         F.count(F.lit(1)).alias("n_turns"),
         (F.max("session_id") + 1).alias("n_sessions"),
         *role_counts,
@@ -93,3 +108,4 @@ def conv_features(
         "session_len_mean",
         F.col("n_turns").cast("double") / F.col("n_sessions").cast("double"),
     )
+    return out.drop(BUCKET_COL) if bucketed else out
