@@ -404,6 +404,94 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1-analog theta join in embedding space: all pairs (a<b) with
+    cosine >= 0.45, exact brute force (broadcast self-join + JVM vector
+    kernel)."""
+    emb = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("a") < F.col("b"))
+        .withColumn("cos_sim", cosine_similarity(F.col("va"), F.col("vb")))
+        .where(F.col("cos_sim") >= 0.45)
+        .select("a", "b", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate top-k (rows-only check: the coarse quantizer is
+    engine-internal; exactness is covered by q_similarity_topk and the
+    recall tests in tests/test_similarity.py)."""
+    from pyppi_spark.operators.similarity import ivf_topk
+
+    emb = _embeddings(spark, sf_dir)
+    return ivf_topk(
+        emb.where(F.col("vec_id") < 5), emb, k=10, n_centroids=8, n_probe=3, seed=42
+    )
+
+
+def q_ngram_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates verified by exact n-gram Jaccard, survivors
+    after near-dedup (rows-only: xxhash64 signatures not in DuckDB)."""
+    from pyppi_spark.operators import minhash_signatures, minhash_lsh_candidates, ngram_jaccard_pairs
+    from pyppi_spark.operators.dedup import near_dedup_representatives
+
+    docs = _documents(spark, sf_dir)
+    sigs = minhash_signatures(docs)
+    cands = minhash_lsh_candidates(sigs, bands=32, rows_per_band=2)
+    dups = ngram_jaccard_pairs(docs, cands, threshold=0.8)
+    return near_dedup_representatives(docs, dups).select("doc_id")
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload → Arrow mapInPandas feature
+    kernel (decode stubbed deterministically; rows-only check)."""
+    from pyppi_spark.operators.multimodal import gen_media, image_features
+
+    media = gen_media(spark, n=60, seed=42)
+    return image_features(media).select("media_id", "n_bytes", "sha256", "mean_luma")
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling via flatMap-shaped mapInPandas (stubbed
+    extractor; rows-only check)."""
+    from pyppi_spark.operators.multimodal import frame_sample, gen_media
+
+    media = gen_media(spark, n=60, seed=42)
+    return frame_sample(media, every_s=2.0).select("media_id", "frame_idx", "frame_ts_s")
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase salted aggregation; semantics = plain GROUP BY
+    (the salt is physical only), so the oracle is the plain SQL."""
+    from pyppi_spark.operators.salted_agg import salted_agg
+
+    ev = _events(spark, sf_dir)
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n": ("count", "*"),
+            "value_sum": ("sum", "value"),
+            "value_min": ("min", "value"),
+            "value_max": ("max", "value"),
+            "value_avg": ("avg", "value"),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("value_sum", 4).alias("value_sum"),
+        F.round("value_min", 6).alias("value_min"),
+        F.round("value_max", 6).alias("value_max"),
+        F.round("value_avg", 6).alias("value_avg"),
+    )
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs on documents (no SQL oracle —
     signature hashing not expressible in DuckDB; driver rows-only check)."""
@@ -436,6 +524,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
         "similarity_topk": q_similarity_topk,
+        "embed_threshold_join": q_embed_threshold_join,
+        "salted_agg": q_salted_agg,
+        "ann_ivf": q_ann_ivf,
+        "ngram_near_dedup": q_ngram_near_dedup,
+        "media_features": q_media_features,
+        "frame_sample": q_frame_sample,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
     }
@@ -667,6 +761,27 @@ WITH q AS (
 SELECT query_id, neighbor_id, rk::BIGINT AS rk, round(cos, 6) AS cos_sim
 FROM r WHERE rk <= 10
 """,
-        # minhash_lsh, simhash: intentionally no oracle (xxhash64-based
-        # signatures are not expressible in DuckDB) → driver rows-only check.
+        "embed_threshold_join": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+""",
+        "salted_agg": """
+SELECT event_type,
+       count(*)::BIGINT AS n,
+       round(sum(value), 4) AS value_sum,
+       round(min(value), 6) AS value_min,
+       round(max(value), 6) AS value_max,
+       round(avg(value), 6) AS value_avg
+FROM events
+GROUP BY event_type
+""",
+        # minhash_lsh, simhash, ann_ivf, ngram_near_dedup, media_features,
+        # frame_sample: intentionally no oracle (xxhash64 signatures /
+        # engine-internal quantizers / binary payloads are not expressible
+        # in DuckDB) → driver rows-only check.
     }

@@ -1,0 +1,166 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads with
+typed metadata, processed by Arrow-batched ``mapInPandas`` kernels.
+
+The Spark-side plumbing (schemas, batch iteration, partition sizing,
+column pruning of the heavy binary column) is real and tested; the actual
+codec step is STUBBED — image/audio libraries are not in this container —
+behind ``decoder=`` injection points. The default decoder is a
+deterministic fake (content-hash-seeded) so tests are reproducible; pass a
+real decoder (PIL/librosa/av) in production.
+
+Scale notes baked into the design:
+- the binary column never enters a shuffle: features are extracted
+  map-side (``mapInPandas``) and only the small feature columns continue,
+- Arrow batch size bounds worker memory (binary payloads can be MBs/row —
+  set ``spark.sql.execution.arrow.maxRecordsPerBatch`` accordingly),
+- metadata is a flat struct, filterable/prunable without touching bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+import pyspark.sql.types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("sha256", T.StringType(), False),
+        T.StructField("mean_luma", T.DoubleType(), True),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_ts_s", T.DoubleType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def fake_image_decode(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in for a real image decoder: a content-seeded
+    8×8 luma plane. Replace with PIL/cv2 in production.
+
+    A real decoder would::
+
+        raise NotImplementedError("install pillow and pass decoder=pil_decode")
+    """
+    seed = int.from_bytes(hashlib.sha256(payload or b"").digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(8, 8)).astype(np.float64)
+
+
+def image_features(
+    media: DataFrame,
+    decoder: Callable[[bytes], np.ndarray] = fake_image_decode,
+    embed_dim: int = 16,
+) -> DataFrame:
+    """Per-image features: byte stats + decoded-plane stats + a
+    deterministic pseudo-embedding. Binary column consumed map-side only."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = r["payload"] or b""
+                plane = decoder(payload)
+                digest = hashlib.sha256(payload).hexdigest()
+                emb_rng = np.random.default_rng(int(digest[:8], 16))
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "n_bytes": len(payload),
+                        "sha256": digest,
+                        "mean_luma": float(plane.mean()),
+                        "embedding": emb_rng.standard_normal(embed_dim).astype(np.float32).tolist(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
+
+    pruned = media.where(media.kind == "image").select(
+        "media_id", "payload"
+    )
+    return pruned.mapInPandas(kernel, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample(
+    media: DataFrame,
+    every_s: float = 1.0,
+    extractor: Callable[[bytes, float], bytes] | None = None,
+) -> DataFrame:
+    """Video frame sampling: one output row per sampled timestamp — a
+    flatMap-shaped mapInPandas (rows out > rows in). The frame extractor is
+    stubbed (slices of the payload hash); a real one uses pyav."""
+
+    def fake_extract(payload: bytes, ts: float) -> bytes:
+        return hashlib.sha256((payload or b"") + str(ts).encode()).digest()
+
+    ex = extractor or fake_extract
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                duration = r["duration_s"] or 0.0
+                n = max(int(duration // every_s), 0)
+                for i in range(n):
+                    ts = i * every_s
+                    rows.append(
+                        {
+                            "media_id": r["media_id"],
+                            "frame_idx": i,
+                            "frame_ts_s": ts,
+                            "frame": ex(r["payload"], ts),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SAMPLE_SCHEMA.fields])
+
+    pruned = media.where(media.kind == "video").select("media_id", "payload", "duration_s")
+    return pruned.mapInPandas(kernel, schema=FRAME_SAMPLE_SCHEMA)
+
+
+def gen_media(spark, n: int = 50, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic media table (binary payloads are seeded
+    noise — no external data)."""
+    rng = np.random.default_rng(seed)
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = bytes(rng.integers(0, 256, size=int(rng.integers(64, 4096))).astype(np.uint8))
+        rows.append(
+            (
+                f"m{i:05d}",
+                kind,
+                payload,
+                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                int(rng.integers(16, 4096)) if kind == "image" else None,
+                int(rng.integers(16, 4096)) if kind == "image" else None,
+                float(rng.uniform(0.5, 30.0)) if kind in ("audio", "video") else None,
+                16000 if kind == "audio" else None,
+            )
+        )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

@@ -1,0 +1,71 @@
+"""Salted two-phase aggregation for skewed grouping keys.
+
+The reference's scale axis is a per-entity loop where a few huge entities
+dominate (``/root/reference/bin/setupPpiDb.py:163``); the Spark analog is a
+``groupBy(conv_id)`` where Zipf-heavy conversations make one reducer a
+straggler. Windows need whole-entity locality (solved by the balanced
+bucket layout in ``pyppi_spark.io``), but plain aggregations don't: they
+can be **salted** — phase 1 aggregates on ``(key, salt)`` spreading a hot
+key over S reducers, phase 2 merges the S partials per key.
+
+Only algebraic aggregates (re-aggregatable partials) are supported:
+count/sum/min/max — and avg via (sum, count). This mirrors Spark's own
+partial aggregation, but forces the *reduce side* to spread too, which
+partial agg alone cannot do when one key's partials still land on one
+reducer at enormous cardinality-per-key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """``aggs``: output_name → (function, column) with function in
+    {count, sum, min, max, avg}.
+
+    Example::
+
+        salted_agg(df, ["conv_id"], {
+            "n": ("count", "*"),
+            "total": ("sum", "value"),
+            "mean": ("avg", "value"),
+        })
+    """
+    keys = list(keys)
+    phase1_exprs: list[Column] = []
+    phase2_exprs: list[Column] = []
+    for name, (fn, col) in aggs.items():
+        if fn == "count":
+            phase1_exprs.append(F.count(F.lit(1) if col == "*" else F.col(col)).alias(f"_{name}"))
+            phase2_exprs.append(F.sum(f"_{name}").alias(name))
+        elif fn == "sum":
+            phase1_exprs.append(F.sum(col).alias(f"_{name}"))
+            phase2_exprs.append(F.sum(f"_{name}").alias(name))
+        elif fn == "min":
+            phase1_exprs.append(F.min(col).alias(f"_{name}"))
+            phase2_exprs.append(F.min(f"_{name}").alias(name))
+        elif fn == "max":
+            phase1_exprs.append(F.max(col).alias(f"_{name}"))
+            phase2_exprs.append(F.max(f"_{name}").alias(name))
+        elif fn == "avg":
+            phase1_exprs.append(F.sum(col).alias(f"_{name}_s"))
+            phase1_exprs.append(F.count(col).alias(f"_{name}_c"))
+            phase2_exprs.append(
+                (F.sum(f"_{name}_s") / F.sum(f"_{name}_c")).alias(name)
+            )
+        else:
+            raise ValueError(f"non-algebraic aggregate {fn!r} cannot be salted")
+
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()), F.lit(salt_buckets))
+    )
+    phase1 = salted.groupBy(*keys, "_salt").agg(*phase1_exprs)
+    return phase1.groupBy(*keys).agg(*phase2_exprs)

@@ -1,0 +1,74 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyppi_spark.operators import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from pyppi_spark.operators.dedup import near_dedup_representatives
+
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+        (2, "The  quick   brown fox JUMPS over the lazy dog near the river bank"),  # normalized dup
+        (3, "the quick brown fox jumps over the lazy cat near the river bank"),  # near dup (1 word)
+        (4, "completely different text about spark window functions and joins"),
+        (5, "another unrelated document mentioning parquet bucketing layouts"),
+        (6, "a"),  # shorter than shingle width
+        (7, ""),   # empty
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_normalized(spark):
+    docs = _docs(spark)
+    kept = sorted(r.doc_id for r in exact_dedup(docs).select("doc_id").collect())
+    # 0,1,2 collapse to 0; everything else unique
+    assert kept == [0, 3, 4, 5, 6, 7]
+
+
+def test_minhash_lsh_finds_near_dup(spark):
+    docs = _docs(spark)
+    sigs = minhash_signatures(docs, num_hashes=64, shingle_n=3)
+    # ~0.57-jaccard near-dup: 32 bands × 2 rows → collision prob 1-(1-.57²)³² ≈ 0.999
+    pairs = minhash_lsh_candidates(sigs, bands=32, rows_per_band=2).toPandas()
+    got = {(a, b) for a, b in zip(pairs.a, pairs.b)}
+    assert (0, 1) in got and (0, 2) in got and (1, 2) in got  # exact dups always collide
+    assert (0, 3) in got  # 1-word-different near dup shares most shingles
+    assert (4, 5) not in got
+
+
+def test_ngram_jaccard_verification(spark):
+    docs = _docs(spark)
+    sigs = minhash_signatures(docs)
+    cands = minhash_lsh_candidates(sigs, bands=32, rows_per_band=2)
+    verified = ngram_jaccard_pairs(docs, cands, threshold=0.5).toPandas()
+    pairs = {(a, b): j for a, b, j in zip(verified.a, verified.b, verified.jaccard)}
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 2)] == 1.0
+    assert 0.5 <= pairs[(0, 3)] < 1.0
+
+
+def test_near_dedup_representatives(spark):
+    docs = _docs(spark)
+    sigs = minhash_signatures(docs)
+    cands = minhash_lsh_candidates(sigs, bands=32, rows_per_band=2)
+    dups = ngram_jaccard_pairs(docs, cands, threshold=0.8)
+    kept = sorted(r.doc_id for r in near_dedup_representatives(docs, dups).collect())
+    assert 0 in kept and 1 not in kept and 2 not in kept
+    assert {4, 5, 6, 7} <= set(kept)
+
+
+def test_simhash_near_dup_small_hamming(spark):
+    docs = _docs(spark)
+    h = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
+    assert h[0] == h[1] == h[2]  # identical normalized text → identical simhash
+    ham_near = bin((h[0] ^ h[3]) & 0xFFFFFFFFFFFFFFFF).count("1")
+    ham_far = bin((h[0] ^ h[4]) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert ham_near < ham_far

@@ -1,0 +1,55 @@
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from pyppi_spark.operators.multimodal import frame_sample, gen_media, image_features
+
+
+def test_image_features_schema_and_determinism(spark):
+    media = gen_media(spark, n=30, seed=42)
+    out1 = image_features(media).orderBy("media_id").toPandas()
+    out2 = image_features(media).orderBy("media_id").toPandas()
+    assert len(out1) == media.where(F.col("kind") == "image").count()
+    assert list(out1.columns) == ["media_id", "n_bytes", "sha256", "mean_luma", "embedding"]
+    assert out1["sha256"].tolist() == out2["sha256"].tolist()
+    assert out1["mean_luma"].tolist() == out2["mean_luma"].tolist()
+    assert all(len(e) == 16 for e in out1["embedding"])
+
+
+def test_image_features_hash_matches_payload(spark):
+    media = gen_media(spark, n=9, seed=1)
+    payloads = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.where(F.col("kind") == "image").collect()
+    }
+    out = image_features(media).collect()
+    for r in out:
+        assert r["sha256"] == hashlib.sha256(payloads[r["media_id"]]).hexdigest()
+
+
+def test_frame_sample_rowcounts(spark):
+    media = gen_media(spark, n=30, seed=42)
+    frames = frame_sample(media, every_s=2.0)
+    pdf = frames.toPandas()
+    durations = {
+        r["media_id"]: r["duration_s"]
+        for r in media.where(F.col("kind") == "video").collect()
+    }
+    counts = pdf.groupby("media_id").size().to_dict()
+    for mid, dur in durations.items():
+        expect = max(int(dur // 2.0), 0)
+        assert counts.get(mid, 0) == expect
+    # frame payloads are deterministic digests
+    assert pdf["frame"].map(lambda b: len(bytes(b))).eq(32).all()
+
+
+def test_binary_column_pruned_from_plan(spark):
+    """The heavy payload column must not survive past the mapInPandas —
+    downstream plans see only feature columns."""
+    media = gen_media(spark, n=9, seed=2)
+    feats = image_features(media).select("media_id", "mean_luma")
+    plan = feats._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in feats.columns
+    assert "mean_luma" in plan

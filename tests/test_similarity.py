@@ -1,0 +1,71 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from pyppi_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_neardup_pairs,
+    ivf_topk,
+    lsh_topk,
+)
+
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, DIM))
+    # plant near-duplicates: vectors 30..34 are tiny perturbations of 0..4
+    base[30:35] = base[0:5] + rng.standard_normal((5, DIM)) * 0.01
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    df.persist()
+    df.count()
+    return df
+
+
+def test_brute_force_exact_topk(spark, vecs):
+    out = brute_force_topk(vecs.where(F.col("vec_id") < 3), vecs, k=5).toPandas()
+    assert set(out["query_id"]) == {0, 1, 2}
+    assert (out.groupby("query_id").size() == 5).all()
+    # planted near-dup must be the top neighbor
+    top = out[out.rk == 1].set_index("query_id")["neighbor_id"]
+    assert top[0] == 30 and top[1] == 31 and top[2] == 32
+
+
+def test_lsh_recall_of_planted_duplicates(spark, vecs):
+    out = lsh_topk(
+        vecs.where(F.col("vec_id") < 3), vecs, k=5, n_tables=12, n_bits=6, dim=DIM
+    ).toPandas()
+    top = out[out.rk == 1].set_index("query_id")["neighbor_id"]
+    # near-identical vectors collide in some band with overwhelming probability
+    assert top[0] == 30 and top[1] == 31 and top[2] == 32
+
+
+def test_ivf_recall_of_planted_duplicates(spark, vecs):
+    out = ivf_topk(
+        vecs.where(F.col("vec_id") < 3), vecs, k=5, n_centroids=4, n_probe=2, seed=3
+    ).toPandas()
+    top = out[out.rk == 1].set_index("query_id")["neighbor_id"]
+    assert top[0] == 30 and top[1] == 31 and top[2] == 32
+
+
+def test_embedding_neardup_pairs(spark, vecs):
+    pairs = embedding_neardup_pairs(vecs, threshold=0.98, n_tables=12, n_bits=6).toPandas()
+    got = {(a, b) for a, b in zip(pairs.a, pairs.b)}
+    assert {(0, 30), (1, 31), (2, 32), (3, 33), (4, 34)} <= got
+
+
+def test_lsh_is_subset_of_bruteforce_scores(spark, vecs):
+    """Approximate results must agree with exact cosine on the pairs they
+    return (same kernel, only candidate generation differs)."""
+    q = vecs.where(F.col("vec_id") < 2)
+    bf = brute_force_topk(q, vecs, k=39).toPandas()
+    ls = lsh_topk(q, vecs, k=39, n_tables=8, n_bits=6, dim=DIM).toPandas()
+    bf_scores = {(r.query_id, r.neighbor_id): r.cos_sim for r in bf.itertuples()}
+    for r in ls.itertuples():
+        assert np.isclose(bf_scores[(r.query_id, r.neighbor_id)], r.cos_sim, rtol=1e-9)
