@@ -138,10 +138,15 @@ def asof_join_merge(
         sort_keys = [build_ts] + ([tiebreak] if tiebreak else [])
         right = right.sort_values(sort_keys, kind="mergesort")
         left = left.sort_values([probe_ts], kind="mergesort")
-        # keep build_ts once even when it also appears in payload (prefix="")
-        r_cols = [build_ts] + [c for c in payload if c != build_ts]
-        rename = {c: f"{prefix}{c}" for c in payload if f"{prefix}{c}" != c}
-        r = right[r_cols].rename(columns=rename)
+        # build the right side as: join key + prefixed payload copies.
+        # A plain rename would strip the join key whenever build_ts is
+        # itself in the payload (e.g. payload=["ts", ...]) — copy instead.
+        out_payload = [f"{prefix}{c}" for c in payload]
+        r = right[list(dict.fromkeys([build_ts] + payload))].copy()
+        for c, oc in zip(payload, out_payload):
+            if oc != c:
+                r[oc] = r[c]
+        r = r[list(dict.fromkeys([build_ts] + out_payload))]
         m = pd.merge_asof(
             left,
             r,

@@ -1,0 +1,103 @@
+"""Property-based tests (hypothesis) for the core ordering/leakage
+invariants — randomized inputs, bounded example counts to keep Spark
+round-trips cheap (SURVEY.md §5.3 item 3)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyppi_spark.oracle import oracle_turn_features
+from pyppi_spark.schema import PROBES, TRANSCRIPTS
+
+BASE = dt.datetime(2025, 1, 1)
+
+# gaps chosen adversarially around the 1800 s boundary, plus ties (0)
+gap_strategy = st.sampled_from([0.0, 0.001, 1.0, 1799.999, 1800.0, 1800.001, 5000.0])
+roles = st.sampled_from(["user", "assistant", "system", "tool"])
+
+
+@st.composite
+def conv_frames(draw):
+    n_convs = draw(st.integers(1, 4))
+    rows = []
+    for c in range(n_convs):
+        n = draw(st.integers(1, 12))
+        gaps = draw(st.lists(gap_strategy, min_size=n, max_size=n))
+        t = 0.0
+        for i in range(n):
+            t += gaps[i] if i else 0.0
+            rows.append(
+                (
+                    f"c{c}",
+                    i,
+                    draw(roles),
+                    f"t{c}_{i}",
+                    None,
+                    BASE + dt.timedelta(seconds=t),
+                )
+            )
+    return pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pdf=conv_frames())
+def test_sessionize_boundary_and_monotonicity(spark, pdf):
+    from pyppi_spark.operators import with_session_id
+
+    df = spark.createDataFrame(pdf, schema=TRANSCRIPTS)
+    out = (
+        with_session_id(df, gap_s=1800.0)
+        .orderBy("conv_id", "ts", "turn_idx")
+        .toPandas()
+    )
+    for _, g in out.groupby("conv_id"):
+        ts = g["ts"].astype("int64").to_numpy() / 1e9
+        sid = g["session_id"].to_numpy()
+        assert sid[0] == 0
+        for i in range(1, len(g)):
+            gap = ts[i] - ts[i - 1]
+            if gap > 1800.0 + 1e-9:
+                assert sid[i] == sid[i - 1] + 1, (gap, i)
+            else:
+                assert sid[i] == sid[i - 1], (gap, i)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pdf=conv_frames(), offsets_s=st.lists(st.integers(-4000, 4000), min_size=3, max_size=6))
+def test_asof_never_leaks_future(spark, pdf, offsets_s):
+    from pyppi_spark.operators import asof_join
+
+    probes = []
+    for j, off in enumerate(offsets_s):
+        probes.append(("c0", pdf[pdf.conv_id == "c0"]["ts"].iloc[0] + dt.timedelta(seconds=off), f"p{j}"))
+    probes_df = spark.createDataFrame(
+        pd.DataFrame(probes, columns=["conv_id", "probe_ts", "probe_id"]), schema=PROBES
+    )
+    build = spark.createDataFrame(pdf, schema=TRANSCRIPTS)
+    for strategy in ("union", "merge"):
+        out = asof_join(probes_df, build, strategy=strategy, payload=["ts", "turn_idx"]).toPandas()
+        m = out.dropna(subset=["matched_ts"])
+        assert (m["matched_ts"] <= m["probe_ts"]).all()
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pdf=conv_frames())
+def test_turn_features_agree_with_oracle(spark, pdf):
+    from pyppi_spark.plans import turn_features
+
+    import numpy as np
+
+    df = spark.createDataFrame(pdf, schema=TRANSCRIPTS)
+    got = turn_features(df).orderBy("conv_id", "turn_idx").toPandas()
+    want = oracle_turn_features(pdf).sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert got["session_id"].tolist() == want["session_id"].tolist()
+    assert np.allclose(
+        got["gap_prev_s"].astype(float),
+        want["gap_prev_s"].astype(float),
+        rtol=1e-9, atol=1e-9, equal_nan=True,
+    )
