@@ -268,10 +268,17 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         after=300.0,
         by=("user_id",),
     )
+    # J9 conditional join-split: one range join, then when()-tagged
+    # conditional aggregation (the reference's collusion/contact split,
+    # /root/reference/pyPPI/surfaceComplementarity/VDW.py:190-191)
+    close = F.abs(F.unix_micros(F.col("r_ts").cast("timestamp")) - F.unix_micros(F.col("l_ts").cast("timestamp"))) / 1e6 <= 60.0
     counts = (
         neigh.where(F.col("r_event_id") != F.col("l_error_id"))
         .groupBy(F.col("l_error_id").alias("error_id"))
-        .agg(F.count(F.lit(1)).alias("n_neighbors"))
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.sum(F.when(close, 1).otherwise(0)).alias("n_close"),
+        )
     )
     return (
         errors.join(counts, "error_id", "left")
@@ -279,6 +286,7 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "error_id",
             F.coalesce("n_neighbors", F.lit(0)).alias("n_neighbors"),
+            F.coalesce("n_close", F.lit(0)).alias("n_close"),
         )
     )
 
@@ -347,9 +355,9 @@ def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -401,6 +409,128 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 10)
         .select("query_id", "neighbor_id", F.col("rk").cast("long").alias("rk"),
                 F.round("cos", 6).alias("cos_sim"))
+    )
+
+
+def q_equi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 composite-key equi join: lineitem ⋈ orders with a post-join
+    filter, per-order revenue (SURVEY §2.3 J4 — the createInterface.sql
+    shape)."""
+    li = _lineitem(spark, sf_dir)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .where(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U3/U4 set algebra on user sets: (clickers ∩ viewers) ∪ signups
+    minus high-value purchasers, distinct (SURVEY §2.7)."""
+    ev = _events(spark, sf_dir)
+
+    def users(t):
+        return ev.where(F.col("event_type") == t).select("user_id")
+
+    both = users("click").intersect(users("view"))
+    merged = both.union(users("signup")).distinct()
+    high_purchasers = (
+        ev.where((F.col("event_type") == "purchase") & (F.col("value") > 300))
+        .select("user_id")
+        .distinct()
+    )
+    return merged.exceptAll(high_purchasers).distinct()
+
+
+def q_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/F13 broadcast-map code lookup with fallback: event_type → category
+    via a MapType literal, coalesce to 'other' (the reference's residue
+    3-letter→1-letter dict with X→C fallback,
+    /root/reference/pyPPI/atom.py:4-28, /root/reference/pyPPI/ASA.py:14-21)."""
+    ev = _events(spark, sf_dir)
+    m = F.create_map(
+        F.lit("click"), F.lit("engage"),
+        F.lit("view"), F.lit("engage"),
+        F.lit("purchase"), F.lit("convert"),
+        F.lit("signup"), F.lit("convert"),
+    )
+    return (
+        ev.withColumn("category", F.coalesce(F.element_at(m, F.col("event_type")), F.lit("other")))
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("value_sum"))
+    )
+
+
+def q_window_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7/A9 group-max normalization: per event, value / max(value) over the
+    user (the reference's periphery dist/max ratio,
+    /root/reference/pyPPI/surfaceComplementarity/interfaceDepth.py:57-66)."""
+    from pyppi_spark.operators.window_extras import with_group_normalized
+
+    ev = _events(spark, sf_dir)
+    out = with_group_normalized(ev, "value", conv_col="user_id")
+    return out.select(
+        "user_id", "event_id", F.round("value_norm", 6).alias("value_norm")
+    )
+
+
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 analog: seeded sampling estimate. The reference's Monte-Carlo
+    cavity volume is unseeded (/root/reference/pyPPI/cavities.py:53 — the
+    documented defect); here sampling is a pure hash of the row key
+    (md5-hex prefix → int), so the estimate is deterministic, partition-
+    independent, and reproducible in the oracle."""
+    ev = _events(spark, sf_dir)
+    bucket = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10).cast("long") % 10
+    sampled = ev.where(bucket == 0)
+    return sampled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.round(F.avg("value"), 6).alias("value_mean_est"),
+    )
+
+
+def q_table_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 table-driven signed offsets: per event type, read the event_type
+    of the row at that type's declared offset (clicks +1, views +2,
+    errors -1, purchases -2; signups unmapped → null)."""
+    from pyppi_spark.operators.window_extras import with_table_driven_offsets
+
+    ev = _events(spark, sf_dir)
+    out = with_table_driven_offsets(
+        ev,
+        {"click": 1, "view": 2, "error": -1, "purchase": -2},
+        value_col="event_type",
+        spec_key_col="event_type",
+        conv_col="user_id",
+        ts_col="ts",
+        idx_col="event_id",
+    )
+    return out.select("user_id", "event_id", F.col("offset_value").alias("offset_type"))
+
+
+def q_bounded_lookahead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 bounded forward scan within a run: first error value among the
+    next 5 events of the same session (stops at session boundary)."""
+    from pyppi_spark.operators.window_extras import bounded_lookahead
+
+    ev = _events(spark, sf_dir).withColumn(
+        "err_value", F.when(F.col("event_type") == "error", F.col("value"))
+    )
+    s = with_session_id(
+        ev, gap_s=SESSION_GAP_S, conv_col="user_id", ts_col="ts", idx_col="event_id"
+    )
+    out = bounded_lookahead(
+        s, "err_value", k=5, conv_col="user_id", ts_col="ts", idx_col="event_id"
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.round("err_value_next5_in_session", 6).alias("next_err_value"),
     )
 
 
@@ -516,6 +646,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "user_features": q_user_features,
         "range_join": q_range_join,
+        "equi_join": q_equi_join,
+        "set_ops": q_set_ops,
+        "map_lookup": q_map_lookup,
+        "window_norm": q_window_norm,
+        "deterministic_sample": q_deterministic_sample,
+        "table_offsets": q_table_offsets,
+        "bounded_lookahead": q_bounded_lookahead,
         "spread_agg": q_spread_agg,
         "semi_anti": q_semi_anti,
         "broadcast_dim": q_broadcast_dim,
@@ -673,7 +810,9 @@ FROM errors e ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts >= c.ts
 WITH errors AS (
   SELECT user_id, ts, event_id AS error_id FROM events WHERE event_type = 'error'
 ), counts AS (
-  SELECT e.error_id, count(*)::BIGINT AS n_neighbors
+  SELECT e.error_id, count(*)::BIGINT AS n_neighbors,
+         sum(CASE WHEN abs(epoch_us(v.ts) - epoch_us(e.ts)) / 1e6 <= 60.0
+                  THEN 1 ELSE 0 END)::BIGINT AS n_close
   FROM errors e JOIN events v
     ON e.user_id = v.user_id
    AND v.ts >= e.ts - INTERVAL 300 SECOND
@@ -681,8 +820,72 @@ WITH errors AS (
    AND v.event_id != e.error_id
   GROUP BY e.error_id
 )
-SELECT e.user_id, e.error_id, coalesce(c.n_neighbors, 0)::BIGINT AS n_neighbors
+SELECT e.user_id, e.error_id, coalesce(c.n_neighbors, 0)::BIGINT AS n_neighbors,
+       coalesce(c.n_close, 0)::BIGINT AS n_close
 FROM errors e LEFT JOIN counts c ON e.error_id = c.error_id
+""",
+        "equi_join": """
+SELECT o_orderkey, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*)::BIGINT AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderkey, o_orderpriority
+""",
+        "set_ops": """
+SELECT DISTINCT user_id FROM (
+  (SELECT user_id FROM events WHERE event_type = 'click'
+   INTERSECT
+   SELECT user_id FROM events WHERE event_type = 'view')
+  UNION
+  SELECT user_id FROM events WHERE event_type = 'signup'
+)
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 300
+""",
+        "map_lookup": """
+SELECT CASE event_type
+         WHEN 'click' THEN 'engage'
+         WHEN 'view' THEN 'engage'
+         WHEN 'purchase' THEN 'convert'
+         WHEN 'signup' THEN 'convert'
+         ELSE 'other' END AS category,
+       count(*)::BIGINT AS n,
+       round(sum(value), 4) AS value_sum
+FROM events
+GROUP BY 1
+""",
+        "window_norm": """
+SELECT user_id, event_id,
+       round(CASE WHEN max(value) OVER (PARTITION BY user_id) > 0
+                  THEN value / max(value) OVER (PARTITION BY user_id) END, 6) AS value_norm
+FROM events
+""",
+        "deterministic_sample": """
+SELECT event_type, count(*)::BIGINT AS n_sampled,
+       round(avg(value), 6) AS value_mean_est
+FROM events
+WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::BIGINT % 10 = 0
+GROUP BY event_type
+""",
+        "table_offsets": """
+SELECT user_id, event_id,
+       CASE event_type
+         WHEN 'click' THEN lead(event_type, 1) OVER w
+         WHEN 'view' THEN lead(event_type, 2) OVER w
+         WHEN 'error' THEN lag(event_type, 1) OVER w
+         WHEN 'purchase' THEN lag(event_type, 2) OVER w
+       END AS offset_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+        "bounded_lookahead": _SESSION_CTE
+        + """
+SELECT user_id, event_id,
+       round(first_value(CASE WHEN event_type = 'error' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND 5 FOLLOWING), 6) AS next_err_value
+FROM sessioned
 """,
         "spread_agg": """
 SELECT user_id, event_type,
@@ -715,9 +918,9 @@ FROM (
 """,
         "tpch_pricing": """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
        round(avg(l_quantity), 6) AS avg_qty,
        count(*)::BIGINT AS count_order
 FROM lineitem
