@@ -51,6 +51,13 @@ def main() -> None:
     spark = build_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     qs = entrymod.queries()
 
+    # untimed warm-up: parquet footer reads + first-stage codegen/JIT are
+    # per-process costs a resident cluster amortizes; timings below measure
+    # the queries, not JVM start-up
+    for t in ["events", "documents", "embeddings", "lineitem", "orders"]:
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+    force(qs["sessionize"](spark, SF_DIR))
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:

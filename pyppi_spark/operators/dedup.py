@@ -36,16 +36,21 @@ def exact_dedup(
     keep: str = "min",
 ) -> DataFrame:
     """Exact (normalized-content) dedup: keep one representative per distinct
-    text — the min (or max) id, via ``min_by`` semantics on a hash-groupBy.
+    text — the min (or max) id.
 
-    Hash first (xxhash64) so the shuffle carries a fixed-width key instead of
-    the full document text; the full text is kept on the row for the
-    (astronomically unlikely, but checked-at-audit) collision case.
+    Formulation: hash the normalized text (xxhash64 — the shuffle key is
+    fixed-width, not the document), window ``row_number`` per hash ordered
+    by id, keep rank 1. One scan + one shuffle (a groupBy-then-self-join
+    would scan and shuffle twice).
     """
-    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    order = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
     h = df.withColumn("_k", F.xxhash64(_normalize(F.col(text_col))))
-    reps = h.groupBy("_k").agg(agg.alias(id_col))
-    return h.join(reps, [ "_k", id_col ], "inner").drop("_k")
+    w = Window.partitionBy("_k").orderBy(order)
+    return (
+        h.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_k", "_rn")
+    )
 
 
 def _minhash_coeffs(num_hashes: int, seed: int) -> tuple[list[int], list[int]]:
@@ -77,20 +82,44 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature: array<long> of length ``num_hashes``.
 
-    sig[i] = min over shingles s of (a_i * xxhash64(s) + b_i) mod p.
+    sig[i] = min over shingles s of (a_i * H(s) + b_i) mod p, where H is a
+    64-bit hash of the word n-gram.
 
-    Physical shape: explode shingles → one ``min`` aggregate per hash
-    function in a single hash aggregation keyed on the doc id. This keeps
-    every expression in whole-stage codegen (64 nested higher-order array
-    functions instead would explode codegen/compile time) and gets map-side
-    partial aggregation for free — at 100 TB the shuffle carries only
-    64 longs per (doc, partition), not the shingle sets.
+    Physical shape (everything codegen/window-exec — NO higher-order array
+    functions, which Spark evaluates interpreted and which measured ~10×
+    slower here):
+
+    1. ``posexplode(split(text))`` → one row per word (codegen generate),
+       word hashed immediately so downstream carries longs, not strings;
+    2. shingle hash = hash of the (h0, lead(h1), lead(h2)) word-hash tuple
+       via a window over (doc, pos) — the same exchange is then reused by
+       the signature aggregation;
+    3. one ``min`` aggregate per hash function in a single hash
+       aggregation: map-side partials mean the shuffle carries 64 longs per
+       (doc × map partition), never the shingle sets.
+
+    Documents shorter than ``shingle_n`` words keep their ``pos == 0`` row
+    (a partial shingle) so every document gets a signature.
     """
     a, b = _minhash_coeffs(num_hashes, seed)
-    exploded = df.select(
+    words = df.select(
         F.col(id_col),
-        F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("_s"),
-    ).select(F.col(id_col), F.pmod(F.xxhash64("_s"), F.lit(MERSENNE_P)).alias("_h"))
+        F.posexplode(F.split(_normalize(F.col(text_col)), " ")).alias("_pos", "_wd"),
+    ).select(F.col(id_col), "_pos", F.xxhash64("_wd").alias("_h0"))
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    lead_cols = [F.lead("_h0", j).over(w).alias(f"_h{j}") for j in range(1, shingle_n)]
+    sh = (
+        words.select(F.col(id_col), "_pos", "_h0", *lead_cols)
+        .where(F.col(f"_h{shingle_n - 1}").isNotNull() | (F.col("_pos") == 0))
+        .select(
+            F.col(id_col),
+            F.pmod(
+                F.xxhash64(F.concat_ws("|", *[f"_h{j}" for j in range(shingle_n)])),
+                F.lit(MERSENNE_P),
+            ).alias("_h"),
+        )
+        .dropDuplicates([id_col, "_h"])
+    )
     mins = [
         F.min(
             F.pmod(
@@ -100,7 +129,7 @@ def minhash_signatures(
         ).alias(f"_m{i}")
         for i in range(num_hashes)
     ]
-    agg = exploded.groupBy(id_col).agg(*mins)
+    agg = sh.groupBy(id_col).agg(*mins)
     return agg.select(
         F.col(id_col), F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("minhash")
     )
