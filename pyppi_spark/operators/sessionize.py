@@ -55,17 +55,33 @@ def with_session_id(
 ) -> DataFrame:
     """Add 0-based ``session_id`` and 1-based ``turn_in_session``.
 
-    One window (= one shuffle on ``conv_col``); both outputs share it, so
-    Catalyst plans a single sort + exchange.
-    """
+    Everything shares ONE window partitioning and ordering (= one shuffle,
+    one sort): ``turn_in_session`` is derived as ``row_number - anchor + 1``
+    where ``anchor`` is the row_number of the session's first row
+    (``last(when(flag,rn)) ignoreNulls`` over the cumulative frame), instead
+    of a second window keyed on (conv, session_id) that would force another
+    sort."""
     w = _order_window(conv_col, ts_col, idx_col)
     flag = new_session_flag(ts_col, gap_s, w)
     cum = Window.partitionBy(*_keys(conv_col)).orderBy(ts_col, idx_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    df = df.withColumn(out_col, (F.sum(flag).over(cum) - F.lit(1)).cast("long"))
-    sess_w = Window.partitionBy(*_keys(conv_col), out_col).orderBy(ts_col, idx_col)
-    return df.withColumn("turn_in_session", F.row_number().over(sess_w).cast("long"))
+    rn = F.row_number().over(w)
+    df = (
+        df.withColumn("_rn", rn)
+        .withColumn("_flag", flag)
+        .withColumn(out_col, (F.sum("_flag").over(cum) - F.lit(1)).cast("long"))
+        .withColumn(
+            "turn_in_session",
+            (
+                F.col("_rn")
+                - F.last(F.when(F.col("_flag") == 1, F.col("_rn")), ignorenulls=True).over(cum)
+                + 1
+            ).cast("long"),
+        )
+        .drop("_rn", "_flag")
+    )
+    return df
 
 
 def session_bounds(
