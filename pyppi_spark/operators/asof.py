@@ -59,14 +59,23 @@ def asof_join_union(
     inclusive: bool = True,
     tiebreak: str | None = "turn_idx",
     prefix: str = "matched_",
+    direction: str = "backward",
 ) -> DataFrame:
+    """``direction``: ``backward`` (last build row at-or-before, the PIT
+    default) or ``forward`` (first build row at-or-after — the mirror,
+    via ``first`` over the following frame)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction {direction!r}")
     by = list(by)
     payload = list(payload) if payload is not None else _default_payload(build, by, build_ts, tiebreak)
 
-    # Side ordering on timestamp ties: build rows must sort BEFORE probe rows
-    # for inclusive (<=) semantics — so a build row at exactly probe_ts is
-    # visible — and AFTER for strict (<).
-    build_order, probe_order = (0, 1) if inclusive else (1, 0)
+    # Side ordering on timestamp ties: for backward-inclusive, build rows
+    # sort BEFORE probe rows so a build row at exactly probe_ts is visible
+    # (strict: after). Forward mirrors this.
+    if direction == "backward":
+        build_order, probe_order = (0, 1) if inclusive else (1, 0)
+    else:
+        build_order, probe_order = (1, 0) if inclusive else (0, 1)
 
     probe_cols = [c for c in probe.columns if c not in by and c != probe_ts]
     b = build.select(
@@ -86,12 +95,22 @@ def asof_join_union(
         *probe_cols,
     )
 
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(F.col("_t"), F.col("_side"), F.col("_tie").asc_nulls_last())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = F.last("_payload", ignorenulls=True).over(w)
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col("_t"), F.col("_side"), F.col("_tie").asc_nulls_last())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = F.last("_payload", ignorenulls=True).over(w)
+    else:
+        # forward: first build row at-or-after; ties among build rows take
+        # the SMALLEST (ts, tiebreak) ≥ probe
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col("_t"), F.col("_side"), F.col("_tie").asc_nulls_first())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        matched = F.first("_payload", ignorenulls=True).over(w)
     out = (
         b.unionByName(p)
         .withColumn("_m", matched)
@@ -115,6 +134,7 @@ def asof_join_merge(
     inclusive: bool = True,
     tiebreak: str | None = "turn_idx",
     prefix: str = "matched_",
+    direction: str = "backward",
 ) -> DataFrame:
     by = list(by)
     payload = list(payload) if payload is not None else _default_payload(build, by, build_ts, tiebreak)
@@ -136,6 +156,9 @@ def asof_join_merge(
         if left.empty:
             return pd.DataFrame(columns=out_names)
         sort_keys = [build_ts] + ([tiebreak] if tiebreak else [])
+        # tie-sorted ascending: backward merge_asof takes the last matching
+        # row (max tiebreak), forward the first at-or-after (min tiebreak) —
+        # matching the union formulation's tie rules
         right = right.sort_values(sort_keys, kind="mergesort")
         left = left.sort_values([probe_ts], kind="mergesort")
         # build the right side as: join key + prefixed payload copies.
@@ -152,7 +175,7 @@ def asof_join_merge(
             r,
             left_on=probe_ts,
             right_on=build_ts,
-            direction="backward",
+            direction=direction,
             allow_exact_matches=inclusive,
         )
         if build_ts != probe_ts and build_ts in m.columns and build_ts not in out_names:

@@ -69,6 +69,9 @@ def oracle_conv_features(pdf: pd.DataFrame, gap_s: float = DEFAULT_GAP_S) -> pd.
         rec["last_ts"] = g["ts"].max()
         rec["session_len_max"] = int(g["turn_in_session"].max())
         rec["n_distinct_tools"] = int(g["tool"].dropna().nunique())
+        nn = g["tool"].dropna().tolist()
+        rec["n_tool_transitions"] = max(len(nn) - 1, 0)
+        rec["n_distinct_tool_pairs"] = len(set(zip(nn[:-1], nn[1:])))
         rec["session_len_mean"] = float(
             g.groupby("session_id").size().mean()
         )

@@ -74,6 +74,18 @@ def conv_features(
     bucketed = BUCKET_COL in transcripts.columns
     tf = turn_features(transcripts, gap_s=gap_s)
 
+    # directed tool→tool transitions between consecutive non-null tool
+    # turns (lag-ignore-nulls via last() over the preceding frame) — the
+    # directed-pair counting of the reference's H-bond donor→acceptor set
+    # (/root/reference/pyPPI/hbonds.py:174-181) on the tool axis
+    key = [BUCKET_COL, "conv_id"] if bucketed else ["conv_id"]
+    prev_frame = (
+        Window.partitionBy(*key)
+        .orderBy("ts", "turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tf = tf.withColumn("_prev_tool_nn", F.last("tool", ignorenulls=True).over(prev_frame))
+
     role_counts = [
         F.sum(F.when(F.col("role") == r, 1).otherwise(0)).alias(f"n_{r}")
         for r in ROLE_SET
@@ -99,9 +111,16 @@ def conv_features(
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
         F.max("turn_in_session").alias("session_len_max"),
-        # distinct directed tool transitions need the ffilled tool lag — cheap
-        # proxy: count of non-null tool values and distinct tools
         F.countDistinct("tool").alias("n_distinct_tools"),
+        F.sum(
+            F.when(F.col("tool").isNotNull() & F.col("_prev_tool_nn").isNotNull(), 1).otherwise(0)
+        ).alias("n_tool_transitions"),
+        F.countDistinct(
+            F.when(
+                F.col("tool").isNotNull() & F.col("_prev_tool_nn").isNotNull(),
+                F.concat_ws("→", "_prev_tool_nn", "tool"),
+            )
+        ).alias("n_distinct_tool_pairs"),
     ).withColumn(
         # mean session length over a conversation's sessions is exactly
         # total turns / session count — no second aggregation subtree needed

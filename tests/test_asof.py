@@ -112,3 +112,54 @@ def test_empty_build_side(spark, probes_df):
         out = asof_join(probes_df, empty, strategy=strategy, payload=PAYLOAD).toPandas()
         assert len(out) == probes_df.count()
         assert out["matched_role"].isna().all()
+
+
+@pytest.mark.parametrize("strategy", ["union", "merge"])
+@pytest.mark.parametrize("inclusive", [True, False])
+def test_forward_direction(spark, strategy, inclusive):
+    build = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                ("c", 0, "user", "early", None, t(10)),
+                ("c", 1, "assistant", "tie_lo", None, t(20)),
+                ("c", 2, "user", "tie_hi", None, t(20)),
+                ("c", 3, "user", "late", None, t(40)),
+            ],
+            columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+        ),
+        schema=TRANSCRIPTS,
+    )
+    probes = spark.createDataFrame(
+        pd.DataFrame(
+            [("c", t(20), "on_tie"), ("c", t(15), "between"), ("c", t(50), "after_all")],
+            columns=["conv_id", "probe_ts", "probe_id"],
+        ),
+        schema=PROBES,
+    )
+    out = (
+        asof_join(
+            probes, build, strategy=strategy, payload=["text"],
+            inclusive=inclusive, direction="forward",
+        )
+        .toPandas()
+        .set_index("probe_id")["matched_text"]
+    )
+    # forward ties take the SMALLEST turn_idx at the matching timestamp
+    assert out["between"] == "tie_lo"
+    assert out["on_tie"] == ("tie_lo" if inclusive else "late")
+    assert pd.isna(out["after_all"]) or out["after_all"] is None
+
+
+@pytest.mark.parametrize("inclusive", [True, False])
+def test_forward_union_matches_merge(spark, tiny_df, probes_df, inclusive):
+    a = (
+        asof_join(probes_df, tiny_df, strategy="union", payload=["turn_idx"],
+                  inclusive=inclusive, direction="forward")
+        .toPandas().sort_values("probe_id").reset_index(drop=True)
+    )
+    b = (
+        asof_join(probes_df, tiny_df, strategy="merge", payload=["turn_idx"],
+                  inclusive=inclusive, direction="forward")
+        .toPandas().sort_values("probe_id").reset_index(drop=True)
+    )
+    assert a["matched_turn_idx"].fillna(-1).tolist() == b["matched_turn_idx"].fillna(-1).tolist()

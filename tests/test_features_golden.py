@@ -49,7 +49,7 @@ def test_conv_features_golden(spark, tiny_df, tiny_pdf):
     want = oracle_conv_features(tiny_pdf)
     got, want = _aligned(got, want, ["conv_id"])
     int_cols = (
-        ["n_turns", "n_sessions", "session_len_max", "n_distinct_tools"]
+        ["n_turns", "n_sessions", "session_len_max", "n_distinct_tools", "n_tool_transitions", "n_distinct_tool_pairs"]
         + [f"n_{r}" for r in ["user", "assistant", "system", "tool"]]
         + [c for c in want.columns if c.startswith("t_")]
     )
