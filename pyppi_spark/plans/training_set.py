@@ -1,0 +1,66 @@
+"""End-to-end training-set construction — the composition every piece of
+this engine exists for. Mirrors the reference's staged pipeline
+(``/root/reference/bin/setupPpiDb.py:375-413``: parse → per-atom features →
+relational derivation → energy terms, stage outputs materialized between
+steps) as a Spark DAG over transcripts + documents:
+
+1. document hygiene: quality score + language filter (text analysis),
+2. near-duplicate removal: MinHash-LSH candidates → exact n-gram Jaccard
+   verify → representative selection,
+3. transcript feature extraction: sessionization, lag/lead, backfill,
+4. per-conversation feature vectors,
+5. point-in-time snapshots at probe timestamps (zero leakage).
+
+Each stage returns a DataFrame so callers can materialize (or checkpoint
+via ``pyppi_spark.checkpoint``) between stages exactly like the
+reference's CSV/DB stage boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import lang_id, quality_score
+from ..operators.dedup import (
+    minhash_lsh_candidates,
+    minhash_signatures,
+    near_dedup_representatives,
+    ngram_jaccard_pairs,
+)
+from .features import conv_features, turn_features
+from .pit import pit_features
+
+
+def clean_documents(
+    documents: DataFrame,
+    min_quality: float = 0.3,
+    languages: tuple[str, ...] = ("en",),
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Quality/language filter then near-dedup; returns surviving docs with
+    their quality/lang columns attached."""
+    scored = documents.withColumn("quality", quality_score("text")).withColumn(
+        "lang_pred", lang_id("text")
+    )
+    kept = scored.where(
+        (F.col("quality") >= min_quality) & F.col("lang_pred").isin(*languages)
+    )
+    sigs = minhash_signatures(kept)
+    cands = minhash_lsh_candidates(sigs, bands=32, rows_per_band=2)
+    dups = ngram_jaccard_pairs(kept, cands, threshold=jaccard_threshold)
+    return near_dedup_representatives(kept, dups)
+
+
+def build_training_set(
+    transcripts: DataFrame,
+    probes: DataFrame | None = None,
+    gap_s: float = 1800.0,
+) -> dict[str, DataFrame]:
+    """Returns the pipeline's three feature tables keyed by name."""
+    out = {
+        "turn_features": turn_features(transcripts, gap_s=gap_s),
+        "conv_features": conv_features(transcripts, gap_s=gap_s),
+    }
+    if probes is not None:
+        out["pit_features"] = pit_features(probes, transcripts, gap_s=gap_s)
+    return out
