@@ -474,9 +474,10 @@ def q_window_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir)
     out = with_group_normalized(ev, "value", conv_col="user_id")
-    return out.select(
-        "user_id", "event_id", F.round("value_norm", 6).alias("value_norm")
-    )
+    # no rounding: v/max(v) divides identical parquet doubles in both
+    # engines (bitwise-deterministic); rounding can FLIP at exact .5
+    # decimal ties where the two engines' round() implementations differ
+    return out.select("user_id", "event_id", "value_norm")
 
 
 def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -857,8 +858,8 @@ GROUP BY 1
 """,
         "window_norm": """
 SELECT user_id, event_id,
-       round(CASE WHEN max(value) OVER (PARTITION BY user_id) > 0
-                  THEN value / max(value) OVER (PARTITION BY user_id) END, 6) AS value_norm
+       CASE WHEN max(value) OVER (PARTITION BY user_id) > 0
+            THEN value / max(value) OVER (PARTITION BY user_id) END AS value_norm
 FROM events
 """,
         "deterministic_sample": """

@@ -40,6 +40,11 @@ HEADLINE = [
     "text_stats",
     "similarity_topk",
     "minhash_lsh",
+    "equi_join",
+    "window_norm",
+    "set_ops",
+    "bounded_lookahead",
+    "deterministic_sample",
 ]
 
 
