@@ -535,6 +535,23 @@ def q_bounded_lookahead(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: extract a typed field from the JSON
+    props payload (get_json_object), aggregate per event type — the
+    transcript-metadata analog (tool-call arguments ride JSON columns)."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("k_sum"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
 def q_embed_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1-analog theta join in embedding space: all pairs (a<b) with
     cosine >= 0.45, exact brute force (broadcast self-join + JVM vector
@@ -654,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample": q_deterministic_sample,
         "table_offsets": q_table_offsets,
         "bounded_lookahead": q_bounded_lookahead,
+        "json_extract": q_json_extract,
         "spread_agg": q_spread_agg,
         "semi_anti": q_semi_anti,
         "broadcast_dim": q_broadcast_dim,
@@ -964,6 +982,14 @@ WITH q AS (
 )
 SELECT query_id, neighbor_id, rk::BIGINT AS rk, round(cos, 6) AS cos_sim
 FROM r WHERE rk <= 10
+""",
+        "json_extract": """
+SELECT event_type,
+       count(json_extract_string(props, '$.k'))::BIGINT AS n_with_k,
+       sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS k_sum,
+       max(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS k_max
+FROM events
+GROUP BY event_type
 """,
         "embed_threshold_join": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
