@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 
 import __spark_entry__ as entrymod
 from pyppi_spark.session import build_spark
-from pyppi_spark.plans import conv_features, turn_features
+from pyppi_spark.plans import conv_features_from_turns, turn_features
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -77,9 +77,13 @@ def main() -> None:
     n_turns = ev.count()
     t = entrymod._events_as_transcripts(ev)
     t0 = time.perf_counter()
-    force(turn_features(t))
-    force(conv_features(t))
+    # pipeline shape: materialize (cache) the per-turn table once, derive
+    # the per-conversation vectors from it — windows computed exactly once
+    tf = turn_features(t).persist()
+    force(tf)
+    force(conv_features_from_turns(tf))
     feat_dt = time.perf_counter() - t0
+    tf.unpersist()
     timings["feature_extraction"] = round(feat_dt, 3)
     total += feat_dt
 

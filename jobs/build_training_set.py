@@ -30,7 +30,7 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = build_spark("build_training_set", master=args.master)
-    from pyppi_spark.plans.training_set import build_training_set, clean_documents
+    from pyppi_spark.plans.training_set import clean_documents
 
     if args.synthetic_convs:
         from pyppi_spark.datagen import gen_transcripts_df
@@ -47,10 +47,19 @@ def main() -> None:
         clean.write.mode("overwrite").parquet(f"{args.output}/documents_clean")
         print(f"documents kept: {spark.read.parquet(args.output + '/documents_clean').count()}")
 
-    tables = build_training_set(transcripts, gap_s=args.gap_s)
-    for name, df in tables.items():
-        df.write.mode("overwrite").parquet(f"{args.output}/{name}")
-        print(name, spark.read.parquet(f"{args.output}/{name}").count())
+    # staged materialization (the reference's stage-boundary pattern,
+    # /root/reference/bin/setupPpiDb.py:375-413): write the per-turn table,
+    # then derive conv vectors from the materialized copy — windows are
+    # computed exactly once
+    from pyppi_spark.plans import turn_features, conv_features_from_turns
+    from pyppi_spark.plans.pit import pit_features  # noqa: F401 (available for probe inputs)
+
+    tf = turn_features(transcripts, gap_s=args.gap_s)
+    tf.write.mode("overwrite").parquet(f"{args.output}/turn_features")
+    tf_mat = spark.read.parquet(f"{args.output}/turn_features")
+    print("turn_features", tf_mat.count())
+    conv_features_from_turns(tf_mat).write.mode("overwrite").parquet(f"{args.output}/conv_features")
+    print("conv_features", spark.read.parquet(f"{args.output}/conv_features").count())
     spark.stop()
 
 

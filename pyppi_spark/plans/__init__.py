@@ -1,3 +1,3 @@
-from .features import turn_features, conv_features, ROLE_SET
+from .features import turn_features, conv_features, conv_features_from_turns, ROLE_SET
 
-__all__ = ["turn_features", "conv_features", "ROLE_SET"]
+__all__ = ["turn_features", "conv_features", "conv_features_from_turns", "ROLE_SET"]

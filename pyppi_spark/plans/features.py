@@ -26,6 +26,8 @@ from ..operators.sessionize import DEFAULT_GAP_S, with_session_id
 from ..operators.lag_lead import with_lag_lead, with_gaps
 from ..operators.backfill import ffill
 
+__all__ = ["turn_features", "conv_features", "conv_features_from_turns", "ROLE_SET"]
+
 ROLE_SET = ["user", "assistant", "system", "tool"]
 
 BUCKET_COL = "_bkt"
@@ -71,8 +73,18 @@ def conv_features(
     transcripts: DataFrame,
     gap_s: float = DEFAULT_GAP_S,
 ) -> DataFrame:
-    bucketed = BUCKET_COL in transcripts.columns
-    tf = turn_features(transcripts, gap_s=gap_s)
+    return conv_features_from_turns(turn_features(transcripts, gap_s=gap_s))
+
+
+def conv_features_from_turns(tf: DataFrame) -> DataFrame:
+    """Aggregate a ``turn_features`` output into per-conversation vectors.
+
+    Pipelines that materialize (or cache) the per-turn table should call
+    this directly — it reuses the already-computed windows instead of
+    re-deriving them from raw transcripts (the reference's stage-reuse
+    pattern: downstream stages read the materialized per-atom tables,
+    ``/root/reference/bin/setupPpiDb.py:241-244``)."""
+    bucketed = BUCKET_COL in tf.columns
 
     # directed tool→tool transitions between consecutive non-null tool
     # turns (lag-ignore-nulls via last() over the preceding frame) — the
