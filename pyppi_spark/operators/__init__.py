@@ -9,6 +9,14 @@ from .dedup import (
     minhash_lsh_candidates,
     simhash64,
     ngram_jaccard_pairs,
+    near_dedup_representatives,
+)
+from .similarity import brute_force_topk, lsh_topk, ivf_topk, embedding_neardup_pairs
+from .salted_agg import salted_agg
+from .window_extras import (
+    with_table_driven_offsets,
+    bounded_lookahead,
+    with_group_normalized,
 )
 
 __all__ = [
@@ -27,4 +35,13 @@ __all__ = [
     "minhash_lsh_candidates",
     "simhash64",
     "ngram_jaccard_pairs",
+    "near_dedup_representatives",
+    "brute_force_topk",
+    "lsh_topk",
+    "ivf_topk",
+    "embedding_neardup_pairs",
+    "salted_agg",
+    "with_table_driven_offsets",
+    "bounded_lookahead",
+    "with_group_normalized",
 ]

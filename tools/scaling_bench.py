@@ -1,4 +1,5 @@
-"""Two-parallelism scaling benchmark — the sandbox substitution for the
+"""Two-parallelism scaling benchmark (writes BENCH/SCALING_RUN.md;
+BENCH/BASELINE.md is the curated multi-run summary) — the sandbox substitution for the
 north rule's "N vs 4N executors, efficiency >= 0.8" criterion (no real
 cluster here, per the driver instruction): the identical feature-extraction
 job runs at local[8] (8 GiB heap) and local[32] (32 GiB heap) over the same
@@ -217,7 +218,7 @@ def main() -> None:
     print(json.dumps(summary))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "SCALING_RUN.md"), "w") as f:
         f.write(
             f"""# BENCH/BASELINE — scaling run (sandbox substitution for N vs 4N executors)
 
