@@ -5,10 +5,14 @@ through the pyppi_spark engine, over the driver's testdata tables; the
 matching ``oracle_sql()`` entry is the ANSI-SQL ground truth DuckDB runs on
 the same parquet.
 
-Cross-engine float policy: every double output is ``round(x, 6)`` on BOTH
-sides; timestamps are exported as integer epoch microseconds
-(``unix_micros`` / ``epoch_us``) so value hashes are type- and
-representation-stable.
+Cross-engine float policy: aggregation-order-dependent doubles (sums,
+means, percentiles) are ``round(x, 6)`` on BOTH sides (money sums at 4dp —
+2dp sits on decimal half-way boundaries); bitwise-deterministic
+derivations (e.g. a ratio of identical parquet doubles) are emitted RAW,
+because both engines produce the identical IEEE value while their round()
+implementations can disagree exactly at .5 decimal ties. Timestamps are
+exported as integer epoch microseconds (``unix_micros`` / ``epoch_us``) so
+value hashes are type- and representation-stable.
 """
 
 from __future__ import annotations
