@@ -181,15 +181,20 @@ def q_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = with_session_id(
         ev, gap_s=SESSION_GAP_S, conv_col="user_id", ts_col="ts", idx_col="event_id"
     )
+    # gaps accumulate as EXACT int64 microseconds: float mean-of-gaps is
+    # association-order-dependent (Spark hash-agg vs DuckDB segment tree
+    # disagree at the last ULP and round(x,6) flips on the boundary —
+    # round-1 hash-fail); sum(int64)/1e6/count is one float op on identical
+    # integer inputs → bitwise identical in both engines
     s = s.withColumn("prev_type", F.lag("event_type").over(w)).withColumn(
-        "gap_s", (t - F.lag(t).over(w)) / 1e6
-    )
+        "gap_us", t - F.lag(t).over(w)
+    ).withColumn("gap_s", F.col("gap_us") / 1e6)
     aggs = [
         F.count(F.lit(1)).alias("n_events"),
         (F.max("session_id") + 1).cast("long").alias("n_sessions"),
         F.countDistinct("event_type").alias("n_distinct_types"),
-        F.round(F.avg("gap_s"), 6).alias("gap_mean_s"),
-        F.round(F.max("gap_s"), 6).alias("gap_max_s"),
+        (F.sum("gap_us") / F.lit(1e6) / F.count("gap_us")).alias("gap_mean_s"),
+        (F.max("gap_us") / F.lit(1e6)).alias("gap_max_s"),
         F.round(F.expr("percentile(gap_s, 0.95)"), 6).alias("gap_p95_s"),
         _us(F.min("ts")).alias("first_ts_us"),
         _us(F.max("ts")).alias("last_ts_us"),
@@ -219,17 +224,23 @@ def q_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t = _us("ts") / 1e6
-    gap = t - F.lag(t).over(w)
+    t = _us("ts")
+    gap_us = t - F.lag(t).over(w)  # exact int64 µs (see q_user_features note)
     state = (
-        ev.withColumn("_gap", gap)
+        ev.withColumn("_gap_us", gap_us)
         .select(
             "user_id",
             "ts",
             "event_id",
             F.row_number().over(w).cast("long").alias("n_so_far"),
-            F.round(F.sum("_gap").over(cum) / F.count("_gap").over(cum), 6).alias("gap_mean_so_far_s"),
-            F.round(F.max("_gap").over(cum), 6).alias("gap_max_so_far_s"),
+            # RAW doubles (no round): both engines divide identical exact
+            # int64 values by the same constants → bitwise identical, while
+            # round() itself can FLIP on true decimal half-way points
+            # (Spark rounds the shortest repr, DuckDB the binary value)
+            (F.sum("_gap_us").over(cum) / F.lit(1e6) / F.count("_gap_us").over(cum)).alias(
+                "gap_mean_so_far_s"
+            ),
+            (F.max("_gap_us").over(cum) / F.lit(1e6)).alias("gap_max_so_far_s"),
             F.col("event_type").alias("last_type"),
         )
     )
@@ -727,6 +738,7 @@ def _user_features_sql() -> str:
 {_SESSION_CTE}, enriched AS (
   SELECT *,
          lag(event_type) OVER w AS prev_type,
+         (epoch_us(ts) - epoch_us(lag(ts) OVER w)) AS gap_us,
          (epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1e6 AS gap_s
   FROM sessioned
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -735,8 +747,8 @@ SELECT user_id,
   count(*)::BIGINT AS n_events,
   (max(session_id) + 1)::BIGINT AS n_sessions,
   count(DISTINCT event_type)::BIGINT AS n_distinct_types,
-  round(avg(gap_s), 6) AS gap_mean_s,
-  round(max(gap_s), 6) AS gap_max_s,
+  sum(gap_us) / 1e6 / count(gap_us) AS gap_mean_s,
+  max(gap_us) / 1e6 AS gap_max_s,
   round(quantile_cont(gap_s, 0.95), 6) AS gap_p95_s,
   epoch_us(min(ts)) AS first_ts_us,
   epoch_us(max(ts)) AS last_ts_us,
@@ -770,14 +782,14 @@ def oracle_sql() -> dict[str, str]:
         "pit_features": """
 WITH gapped AS (
   SELECT user_id, ts, event_id, event_type,
-         (epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1e6 AS gap_s
+         (epoch_us(ts) - epoch_us(lag(ts) OVER w)) AS gap_us
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), state AS (
   SELECT user_id, ts, event_id,
          row_number() OVER w AS n_so_far,
-         round(sum(gap_s) OVER cum / count(gap_s) OVER cum, 6) AS gap_mean_so_far_s,
-         round(max(gap_s) OVER cum, 6) AS gap_max_so_far_s,
+         sum(gap_us) OVER cum / 1e6 / count(gap_us) OVER cum AS gap_mean_so_far_s,
+         max(gap_us) OVER cum / 1e6 AS gap_max_so_far_s,
          event_type AS last_type
   FROM gapped
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),

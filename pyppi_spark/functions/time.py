@@ -16,3 +16,12 @@ def epoch_seconds(col: str | Column) -> Column:
     the same integer-division-by-1e6 double DuckDB's epoch_us/1e6 yields."""
     c = F.col(col) if isinstance(col, str) else col
     return F.unix_micros(c.cast("timestamp")) / F.lit(1e6)
+
+
+def epoch_micros(col: str | Column) -> Column:
+    """Epoch microseconds as int64 — the exact-accumulation currency: sums
+    of int64 gaps are associativity-free, so derived means are bitwise
+    identical across engines and parallelism levels (divide by 1e6 once,
+    at the end)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))

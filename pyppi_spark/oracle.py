@@ -113,11 +113,18 @@ def oracle_pit_features(
             )
         else:
             gaps = prefix["_ts_s"].diff().dropna()
+            # mean via exact int64 µs, ÷1e6 once at the end — mirrors the
+            # engine's associativity-free accumulation (plans/pit.py)
+            gaps_us = (prefix["ts"].astype("int64") // 1000).diff().dropna()
             rec["ts"] = prefix["ts"].iloc[-1]
             rec["n_turns_so_far"] = len(prefix)
             rec["n_sessions_so_far"] = int((gaps > gap_s).sum()) + 1
-            rec["gap_mean_so_far_s"] = float(gaps.mean()) if len(gaps) else None
-            rec["gap_max_so_far_s"] = float(gaps.max()) if len(gaps) else None
+            rec["gap_mean_so_far_s"] = (
+                float(int(gaps_us.sum()) / 1e6 / len(gaps_us)) if len(gaps_us) else None
+            )
+            rec["gap_max_so_far_s"] = (
+                float(int(gaps_us.max()) / 1e6) if len(gaps_us) else None
+            )
             rec["last_role"] = prefix["role"].iloc[-1]
             tools = prefix["tool"].dropna()
             rec["last_tool"] = tools.iloc[-1] if len(tools) else None

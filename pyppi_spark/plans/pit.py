@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.time import epoch_seconds
+from ..functions.time import epoch_micros, epoch_seconds
 from ..operators.asof import asof_join
 from ..operators.sessionize import DEFAULT_GAP_S, with_session_id
 
@@ -37,8 +37,10 @@ def cumulative_state(transcripts: DataFrame, gap_s: float = DEFAULT_GAP_S) -> Da
     """Per-turn running feature state (all windows share one partitioning)."""
     w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
     cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t = epoch_seconds("ts")
+    t = epoch_micros("ts")
     df = with_session_id(transcripts, gap_s=gap_s)
+    # gaps accumulate as exact int64 µs (associativity-free); divide by 1e6
+    # once at the end → means bitwise-stable across engines/parallelism
     gap = t - F.lag(t).over(w)
     return (
         df.withColumn("_gap", gap)
@@ -48,8 +50,8 @@ def cumulative_state(transcripts: DataFrame, gap_s: float = DEFAULT_GAP_S) -> Da
             "ts",
             F.row_number().over(w).cast("long").alias("n_turns_so_far"),
             (F.col("session_id") + 1).cast("long").alias("n_sessions_so_far"),
-            (F.sum("_gap").over(cum) / F.count("_gap").over(cum)).alias("gap_mean_so_far_s"),
-            F.max("_gap").over(cum).alias("gap_max_so_far_s"),
+            (F.sum("_gap").over(cum) / F.lit(1e6) / F.count("_gap").over(cum)).alias("gap_mean_so_far_s"),
+            (F.max("_gap").over(cum) / F.lit(1e6)).alias("gap_max_so_far_s"),
             F.col("role").alias("last_role"),
             F.last("tool", ignorenulls=True).over(cum).alias("last_tool"),
         )

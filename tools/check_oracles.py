@@ -45,10 +45,13 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
     g, w = normalize(got), normalize(want)
     for c in g.columns:
         if g[c].dtype.kind == "f":
+            # EXACT bitwise equality — the driver gate hashes values, so any
+            # ULP difference is a failure there; tolerate nothing here either
             a, b = g[c].to_numpy(), w[c].astype("float64").to_numpy()
-            if not np.allclose(a, b, rtol=1e-9, atol=1e-9, equal_nan=True):
-                bad = np.where(~np.isclose(a, b, rtol=1e-9, atol=1e-9, equal_nan=True))[0][:3]
-                problems.append(f"col {c}: {len(bad)}+ diffs, e.g. {a[bad]} vs {b[bad]}")
+            eq = (a == b) | (np.isnan(a) & np.isnan(b))
+            if not eq.all():
+                bad = np.where(~eq)[0][:3]
+                problems.append(f"col {c}: {(~eq).sum()} diffs, e.g. {a[bad]} vs {b[bad]}")
         else:
             if not g[c].equals(w[c].astype(g[c].dtype)):
                 mism = (g[c] != w[c]).to_numpy().nonzero()[0][:3]
