@@ -33,10 +33,13 @@ from pyppi_spark.operators import (
 )
 from pyppi_spark.functions import lang_id, quality_score, token_count
 from pyppi_spark.functions.text import char_stats
-from pyppi_spark.functions.vectors import cosine_similarity
+from pyppi_spark.functions.vectors import dot, l2_norm
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 SESSION_GAP_S = 1800.0
+# testdata embeddings are 64-wide at every SF; a known dim lets the vector
+# kernels unroll into flat codegen expressions (HOF fold is interpreted)
+EMBED_DIM = 64
 
 
 def _us(col) -> F.Column:
@@ -406,17 +409,22 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k ANN baseline over embeddings: top 10
     neighbors for query vectors vec_id < 5 (broadcast query side)."""
+    # norms once per row before the join; per-pair work = one unrolled
+    # 64-term codegen dot (HOF fold is interpreted; full unrolled cosine
+    # per pair busts the 64 KB codegen method limit)
     emb = _embeddings(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        l2_norm(F.col("embedding").cast("array<double>"), EMBED_DIM).alias("n"),
     )
     q = emb.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("n").alias("qn")
     )
     pairs = emb.alias("c").join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
     scored = pairs.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        cosine_similarity(F.col("qe"), F.col("e")).alias("cos"),
+        (dot(F.col("qe"), F.col("e"), EMBED_DIM) / (F.col("qn") * F.col("n"))).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -569,19 +577,14 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embed_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1-analog theta join in embedding space: all pairs (a<b) with
-    cosine >= 0.45, exact brute force (broadcast self-join + JVM vector
-    kernel)."""
-    emb = _embeddings(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    a = emb.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
-    return (
-        a.join(F.broadcast(b), F.col("a") < F.col("b"))
-        .withColumn("cos_sim", cosine_similarity(F.col("va"), F.col("vb")))
-        .where(F.col("cos_sim") >= 0.45)
-        .select("a", "b", F.round("cos_sim", 6).alias("cos_sim"))
-    )
+    cosine >= 0.45, EXACT — BLAS matmul prune (mapInPandas) + sequential
+    codegen-dot verify (a theta join would evaluate the dot interpreted
+    inside BroadcastNestedLoopJoin for every ordered pair)."""
+    from pyppi_spark.operators.similarity import threshold_pairs_exact
+
+    emb = _embeddings(spark, sf_dir)
+    out = threshold_pairs_exact(emb, threshold=0.45, dim=EMBED_DIM)
+    return out.select("a", "b", F.round("cos_sim", 6).alias("cos_sim"))
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -11,7 +11,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     near_dedup_representatives,
 )
-from .similarity import brute_force_topk, lsh_topk, ivf_topk, embedding_neardup_pairs
+from .similarity import brute_force_topk, lsh_topk, ivf_topk, embedding_neardup_pairs, threshold_pairs_exact
 from .salted_agg import salted_agg
 from .window_extras import (
     with_table_driven_offsets,
@@ -40,6 +40,7 @@ __all__ = [
     "lsh_topk",
     "ivf_topk",
     "embedding_neardup_pairs",
+    "threshold_pairs_exact",
     "salted_agg",
     "with_table_driven_offsets",
     "bounded_lookahead",

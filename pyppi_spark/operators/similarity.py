@@ -1,20 +1,25 @@
 """Similarity search over embedding columns (``array<float>``).
 
-Baseline: brute-force cosine top-k (exact) — broadcast the query side, JVM
-``zip_with``/``aggregate`` math, window top-k. Scale paths:
+Baseline: brute-force cosine top-k (exact) — broadcast the query side,
+unrolled codegen vector math, window top-k. Scale paths:
 
 - ``lsh_topk``: random-hyperplane LSH — bucket both sides by sign bits of
   seeded random projections, equi-join on (table, bucket), exact cosine
   only within buckets. Recall/cost tuned by (n_tables, n_bits).
-- ``ivf_topk``: IVF-flat — k-means-lite centroids (seeded sample, fixed
-  Lloyd iterations), assign every vector to its nearest centroid, probe
-  ``n_probe`` nearest centroids per query. The coarse quantizer is the
-  analog of the reference's kd-tree candidate pruning
+- ``ivf_topk``: IVF-flat — k-means-lite centroids (seeded deterministic
+  sample, fixed Lloyd iterations), assign every vector to its nearest
+  centroid, probe ``n_probe`` nearest centroids per query. The coarse
+  quantizer is the analog of the reference's kd-tree candidate pruning
   (``/root/reference/pyPPI/kdtree.py:8-48``): bound the candidate set,
   then apply the exact kernel.
 
-All math stays in JVM higher-order functions except centroid training,
-which is a driver-side numpy k-means over a bounded sample (seeded).
+All row-side math is unrolled into flat codegen expressions
+(``functions/vectors.py``) — higher-order array functions are evaluated
+interpreted by Spark and measured ~10× slower here. Plane/centroid
+coefficients are folded in as literals. ``dim`` is required wherever the
+expression must be built before execution (no ``first()`` driver peeks:
+a driver action in a plan-building function is both a hidden job and a
+layout-dependence hazard).
 """
 
 from __future__ import annotations
@@ -23,11 +28,20 @@ import numpy as np
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.vectors import cosine_similarity, dot
+from ..functions.vectors import cosine_similarity, dot, dot_literal, l2_norm
 
 
 def _as_double(col):
     return F.col(col).cast("array<double>") if isinstance(col, str) else col.cast("array<double>")
+
+
+def _cos(a, b, na, nb, dim: int | None):
+    """Pair score from pre-computed per-row norms: dot/(na*nb) — the same
+    expression order as ``cosine_similarity`` (bitwise identical), but the
+    per-PAIR work is one dot; norms are computed once per ROW upstream.
+    Also keeps the generated code per stage under the JVM's 64 KB method
+    limit (a full unrolled cosine is ~3× the terms)."""
+    return dot(a, b, dim) / (na * nb)
 
 
 def brute_force_topk(
@@ -37,16 +51,23 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dim: int | None = None,
 ) -> DataFrame:
     q = queries.select(
-        F.col(id_col).alias(query_id_col), _as_double(vec_col).alias("_q")
+        F.col(id_col).alias(query_id_col),
+        _as_double(vec_col).alias("_q"),
+        l2_norm(_as_double(vec_col), dim).alias("_qn"),
     )
-    c = candidates.select(F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("_c"))
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("_c"),
+        l2_norm(_as_double(vec_col), dim).alias("_cn"),
+    )
     pairs = c.join(F.broadcast(q), F.col("neighbor_id") != F.col(query_id_col))
     scored = pairs.select(
         query_id_col,
         "neighbor_id",
-        cosine_similarity(F.col("_q"), F.col("_c")).alias("cos_sim"),
+        _cos(F.col("_q"), F.col("_c"), F.col("_qn"), F.col("_cn"), dim).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return (
@@ -62,15 +83,38 @@ def _random_planes(dim: int, n_tables: int, n_bits: int, seed: int) -> np.ndarra
 
 
 def _bucket_expr(vec, planes: np.ndarray):
-    """Sign-bit bucket id for one LSH table: packed bits of dot(vec, plane)>0."""
+    """Sign-bit bucket id for one LSH table: packed bits of dot(vec, plane)>0.
+    Coefficients are literals → pure codegen multiply-adds."""
     bucket = F.lit(0).cast("long")
     for b in range(planes.shape[0]):
-        plane = F.array(*[F.lit(float(x)) for x in planes[b]])
-        positive = dot(vec, plane) > 0
+        positive = dot_literal(vec, planes[b]) > 0
         bucket = bucket.bitwiseOR(
             F.when(positive, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
         )
     return bucket
+
+
+def _banded(
+    df: DataFrame, ident: str, id_col: str, vec_col: str, planes: np.ndarray, dim: int
+) -> DataFrame:
+    """One row per (vector, LSH table): ident, vector, its norm, (_tbl, _bkt).
+    Bucket ids are projected as individual columns first (one ~n_bits×dim
+    multiply-add expression each — splittable into separate codegen methods),
+    then zipped and exploded."""
+    n_tables = planes.shape[0]
+    v = _as_double(vec_col)
+    staged = df.select(
+        F.col(id_col).alias(ident),
+        v.alias(f"_v_{ident}"),
+        l2_norm(v, dim).alias(f"_n_{ident}"),
+        *[_bucket_expr(v, planes[t]).alias(f"_b{t}") for t in range(n_tables)],
+    )
+    return staged.select(
+        ident,
+        f"_v_{ident}",
+        f"_n_{ident}",
+        F.posexplode(F.array(*[F.col(f"_b{t}") for t in range(n_tables)])).alias("_tbl", "_bkt"),
+    )
 
 
 def lsh_topk(
@@ -83,7 +127,7 @@ def lsh_topk(
     n_tables: int = 8,
     n_bits: int = 8,
     seed: int = 42,
-    dim: int | None = None,
+    dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: exact cosine within random-hyperplane buckets.
 
@@ -91,31 +135,27 @@ def lsh_topk(
     AQE-skew-splittable. A (query, candidate) pair can collide in several
     tables → dedup before scoring.
     """
-    if dim is None:
-        dim = len(candidates.select(vec_col).first()[0])
     planes = _random_planes(dim, n_tables, n_bits, seed)
 
-    def banded(df: DataFrame, ident: str) -> DataFrame:
-        v = _as_double(vec_col)
-        tables = F.array(*[_bucket_expr(v, planes[t]) for t in range(n_tables)])
-        return df.select(
-            F.col(id_col).alias(ident),
-            v.alias(f"_v_{ident}"),
-            F.posexplode(tables).alias("_tbl", "_bkt"),
-        )
-
-    qb = banded(queries, query_id_col)
-    cb = banded(candidates, "neighbor_id")
+    qb = _banded(queries, query_id_col, id_col, vec_col, planes, dim)
+    cb = _banded(candidates, "neighbor_id", id_col, vec_col, planes, dim)
     cand_pairs = (
         qb.join(cb, ["_tbl", "_bkt"], "inner")
         .where(F.col("neighbor_id") != F.col(query_id_col))
-        .select(query_id_col, "neighbor_id", f"_v_{query_id_col}", "_v_neighbor_id")
+        .select(
+            query_id_col, "neighbor_id",
+            f"_v_{query_id_col}", "_v_neighbor_id",
+            f"_n_{query_id_col}", "_n_neighbor_id",
+        )
         .dropDuplicates([query_id_col, "neighbor_id"])
     )
     scored = cand_pairs.select(
         query_id_col,
         "neighbor_id",
-        cosine_similarity(F.col(f"_v_{query_id_col}"), F.col("_v_neighbor_id")).alias("cos_sim"),
+        _cos(
+            F.col(f"_v_{query_id_col}"), F.col("_v_neighbor_id"),
+            F.col(f"_n_{query_id_col}"), F.col("_n_neighbor_id"), dim,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return (
@@ -129,15 +169,24 @@ def train_centroids(
     candidates: DataFrame,
     n_centroids: int = 16,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
     sample_rows: int = 10_000,
     iters: int = 5,
     seed: int = 42,
 ) -> np.ndarray:
     """Driver-side seeded k-means over a bounded sample (IVF coarse
     quantizer). At 100 TB the sample is still bounded — this is a
-    deliberately driver-cheap trainer, not MLlib."""
+    deliberately driver-cheap trainer, not MLlib.
+
+    The sample is a *deterministic pseudo-random* subset: order by a seeded
+    hash of the id and take the first ``sample_rows`` (TakeOrdered — each
+    partition contributes its local top-N, the driver merges). Unlike
+    ``limit()`` (first-partitions-only → biased, layout-dependent), this is
+    unbiased w.r.t. physical layout and identical across parallelism levels.
+    """
     sample = np.array(
-        candidates.select(_as_double(vec_col).alias("v"))
+        candidates.select(_as_double(vec_col).alias("v"), F.col(id_col).alias("_id"))
+        .orderBy(F.xxhash64(F.col("_id"), F.lit(seed)))
         .limit(sample_rows)
         .toPandas()["v"]
         .tolist()
@@ -155,11 +204,16 @@ def train_centroids(
     return cent
 
 
-def _nearest_centroids_expr(vec, centroids: np.ndarray, n: int):
-    """Array of the ids of the ``n`` nearest centroids (by cosine)."""
+def _nearest_centroids_expr(vec, centroids: np.ndarray, n: int, vnorm=None):
+    """Array of the ids of the ``n`` nearest centroids (by cosine). Centroid
+    coefficients and norms are literals; pass ``vnorm`` (a pre-computed
+    norm column) so the row vector's norm is computed once per row."""
+    dim = centroids.shape[1]
+    if vnorm is None:
+        vnorm = l2_norm(vec, dim)
     sims = F.array(
         *[
-            cosine_similarity(vec, F.array(*[F.lit(float(x)) for x in c]))
+            dot_literal(vec, c) / (vnorm * F.lit(float(np.linalg.norm(c))))
             for c in centroids
         ]
     )
@@ -184,18 +238,21 @@ def ivf_topk(
     """IVF-flat: candidates assigned to their nearest centroid cell; each
     query probes its ``n_probe`` nearest cells; exact cosine within cells."""
     if centroids is None:
-        centroids = train_centroids(candidates, n_centroids, vec_col, seed=seed)
+        centroids = train_centroids(candidates, n_centroids, vec_col, id_col=id_col, seed=seed)
+    dim = centroids.shape[1]
 
     cv = _as_double(vec_col)
     c_assigned = candidates.select(
-        F.col(id_col).alias("neighbor_id"),
-        cv.alias("_vc"),
-        F.element_at(_nearest_centroids_expr(cv, centroids, 1), 1).alias("_cell"),
+        F.col(id_col).alias("neighbor_id"), cv.alias("_vc"), l2_norm(cv, dim).alias("_cn")
+    ).select(
+        "neighbor_id", "_vc", "_cn",
+        F.element_at(_nearest_centroids_expr(F.col("_vc"), centroids, 1, F.col("_cn")), 1).alias("_cell"),
     )
     q_assigned = queries.select(
-        F.col(id_col).alias(query_id_col),
-        cv.alias("_vq"),
-        F.explode(_nearest_centroids_expr(cv, centroids, n_probe)).alias("_cell"),
+        F.col(id_col).alias(query_id_col), cv.alias("_vq"), l2_norm(cv, dim).alias("_qn")
+    ).select(
+        query_id_col, "_vq", "_qn",
+        F.explode(_nearest_centroids_expr(F.col("_vq"), centroids, n_probe, F.col("_qn"))).alias("_cell"),
     )
     pairs = q_assigned.join(c_assigned, "_cell").where(
         F.col("neighbor_id") != F.col(query_id_col)
@@ -203,13 +260,83 @@ def ivf_topk(
     scored = pairs.select(
         query_id_col,
         "neighbor_id",
-        cosine_similarity(F.col("_vq"), F.col("_vc")).alias("cos_sim"),
+        _cos(F.col("_vq"), F.col("_vc"), F.col("_qn"), F.col("_cn"), dim).alias("cos_sim"),
     ).dropDuplicates([query_id_col, "neighbor_id"])
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
         .select(query_id_col, "neighbor_id", "rk", "cos_sim")
+    )
+
+
+def threshold_pairs_exact(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    guard: float = 1e-6,
+) -> DataFrame:
+    """EXACT all-pairs cosine threshold join (a < b), two-phase:
+
+    1. **prune**: ``mapInPandas`` streams one side; each Arrow batch does a
+       dense BLAS matmul against the other side held as a broadcast numpy
+       matrix → candidate pairs with cos ≥ threshold − ``guard``. This is
+       where the O(n²·d) flops happen — vectorized, ~100× the throughput of
+       any per-pair JVM expression, and never inside a join condition
+       (a theta-join would evaluate the dot interpreted per ordered pair
+       inside BroadcastNestedLoopJoin).
+    2. **verify**: the small survivor set joins back to the vectors and is
+       re-scored with the sequential-order codegen dot — bitwise identical
+       to a naive loop (and to DuckDB's ``list_dot_product``), so the exact
+       ``>= threshold`` boundary and the reported value are engine-stable.
+
+    BLAS reordering perturbs the score by ≲1e-12 for unit vectors, so any
+    true pair survives the guarded prune; phase 2 re-applies the exact
+    predicate, so no false pair survives either — the output equals the
+    brute-force join exactly.
+
+    Scale contract: the matrix side must fit in executor memory (same
+    contract as a broadcast hash join's build side). For larger sets, block
+    the matrix side or use ``embedding_neardup_pairs`` (LSH).
+    """
+    import pandas as pd
+
+    side = df.select(F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v"))
+    pdf = side.toPandas()  # the broadcast matrix side (bounded by contract)
+    ids = pdf["_id"].to_numpy()
+    M = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    cut = threshold - guard
+
+    def prune(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            A = np.stack(b["_v"].to_numpy()).astype(np.float64)
+            An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
+            S = An @ Mn.T
+            ai, bi = np.nonzero(S >= cut)
+            out = pd.DataFrame({"a": b["_id"].to_numpy()[ai], "b": ids[bi]})
+            yield out[out.a < out.b]
+
+    cand = side.mapInPandas(prune, schema="a long, b long")
+    va = df.select(
+        F.col(id_col).alias("a"),
+        _as_double(vec_col).alias("_va"),
+        l2_norm(_as_double(vec_col), dim).alias("_na"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("b"),
+        _as_double(vec_col).alias("_vb"),
+        l2_norm(_as_double(vec_col), dim).alias("_nb"),
+    )
+    return (
+        cand.join(va, "a").join(vb, "b")
+        .withColumn("cos_sim", _cos(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb"), dim))
+        .where(F.col("cos_sim") >= threshold)
+        .select("a", "b", "cos_sim")
     )
 
 
@@ -221,23 +348,25 @@ def embedding_neardup_pairs(
     n_tables: int = 8,
     n_bits: int = 8,
     seed: int = 42,
+    dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b) above ``threshold``:
     LSH-bucketed candidate generation + exact cosine verification."""
-    dim = len(df.select(vec_col).first()[0])
     planes = _random_planes(dim, n_tables, n_bits, seed)
-    v = _as_double(vec_col)
-    tables = F.array(*[_bucket_expr(v, planes[t]) for t in range(n_tables)])
-    banded = df.select(
-        F.col(id_col), v.alias("_v"), F.posexplode(tables).alias("_tbl", "_bkt")
+    banded = _banded(df, "x", id_col, vec_col, planes, dim)
+    a = banded.select(
+        F.col("x").alias("a"), F.col("_v_x").alias("_va"), F.col("_n_x").alias("_na"),
+        "_tbl", "_bkt",
     )
-    a = banded.select(F.col(id_col).alias("a"), F.col("_v").alias("_va"), "_tbl", "_bkt")
-    b = banded.select(F.col(id_col).alias("b"), F.col("_v").alias("_vb"), "_tbl", "_bkt")
+    b = banded.select(
+        F.col("x").alias("b"), F.col("_v_x").alias("_vb"), F.col("_n_x").alias("_nb"),
+        "_tbl", "_bkt",
+    )
     return (
         a.join(b, ["_tbl", "_bkt"])
         .where(F.col("a") < F.col("b"))
         .dropDuplicates(["a", "b"])
-        .withColumn("cos_sim", cosine_similarity(F.col("_va"), F.col("_vb")))
+        .withColumn("cos_sim", _cos(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb"), dim))
         .where(F.col("cos_sim") >= threshold)
         .select("a", "b", F.round("cos_sim", 6).alias("cos_sim"))
     )

@@ -29,7 +29,7 @@ def vecs(spark):
 
 
 def test_brute_force_exact_topk(spark, vecs):
-    out = brute_force_topk(vecs.where(F.col("vec_id") < 3), vecs, k=5).toPandas()
+    out = brute_force_topk(vecs.where(F.col("vec_id") < 3), vecs, k=5, dim=DIM).toPandas()
     assert set(out["query_id"]) == {0, 1, 2}
     assert (out.groupby("query_id").size() == 5).all()
     # planted near-dup must be the top neighbor
@@ -55,7 +55,7 @@ def test_ivf_recall_of_planted_duplicates(spark, vecs):
 
 
 def test_embedding_neardup_pairs(spark, vecs):
-    pairs = embedding_neardup_pairs(vecs, threshold=0.98, n_tables=12, n_bits=6).toPandas()
+    pairs = embedding_neardup_pairs(vecs, threshold=0.98, n_tables=12, n_bits=6, dim=DIM).toPandas()
     got = {(a, b) for a, b in zip(pairs.a, pairs.b)}
     assert {(0, 30), (1, 31), (2, 32), (3, 33), (4, 34)} <= got
 
@@ -64,8 +64,35 @@ def test_lsh_is_subset_of_bruteforce_scores(spark, vecs):
     """Approximate results must agree with exact cosine on the pairs they
     return (same kernel, only candidate generation differs)."""
     q = vecs.where(F.col("vec_id") < 2)
-    bf = brute_force_topk(q, vecs, k=39).toPandas()
+    bf = brute_force_topk(q, vecs, k=39, dim=DIM).toPandas()
     ls = lsh_topk(q, vecs, k=39, n_tables=8, n_bits=6, dim=DIM).toPandas()
     bf_scores = {(r.query_id, r.neighbor_id): r.cos_sim for r in bf.itertuples()}
     for r in ls.itertuples():
         assert np.isclose(bf_scores[(r.query_id, r.neighbor_id)], r.cos_sim, rtol=1e-9)
+
+
+def test_threshold_pairs_exact_equals_brute_force(spark, vecs):
+    from pyppi_spark.operators.similarity import threshold_pairs_exact
+    from pyppi_spark.functions.vectors import dot, l2_norm
+    from pyspark.sql import functions as F
+
+    got = threshold_pairs_exact(vecs, threshold=0.9, dim=DIM).toPandas()
+    v = vecs.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        l2_norm(F.col("embedding").cast("array<double>"), DIM).alias("n"),
+    )
+    a = v.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    b = v.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    want = (
+        a.join(F.broadcast(b), F.col("a") < F.col("b"))
+        .withColumn("cos_sim", dot(F.col("va"), F.col("vb"), DIM) / (F.col("na") * F.col("nb")))
+        .where(F.col("cos_sim") >= 0.9)
+        .select("a", "b", "cos_sim")
+        .toPandas()
+    )
+    key = lambda df: df.sort_values(["a", "b"]).reset_index(drop=True)
+    g, w = key(got), key(want)
+    assert len(g) == len(w) and len(g) >= 5  # the 5 planted near-dups qualify
+    assert (g.a == w.a).all() and (g.b == w.b).all()
+    assert (g.cos_sim == w.cos_sim).all()  # bitwise: same sequential order
