@@ -563,7 +563,9 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     props payload (get_json_object), aggregate per event type — the
     transcript-metadata analog (tool-call arguments ride JSON columns)."""
     ev = _events(spark, sf_dir)
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    # try_cast: one malformed props value degrades to null instead of
+    # aborting the job under ANSI strict casts (oracle mirrors via TRY_CAST)
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("long")
     return (
         ev.withColumn("k", k)
         .groupBy("event_type")
@@ -1004,9 +1006,9 @@ FROM r WHERE rk <= 10
 """,
         "json_extract": """
 SELECT event_type,
-       count(json_extract_string(props, '$.k'))::BIGINT AS n_with_k,
-       sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS k_sum,
-       max(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS k_max
+       count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS n_with_k,
+       sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS k_sum,
+       max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS k_max
 FROM events
 GROUP BY event_type
 """,

@@ -42,14 +42,22 @@ def exact_dedup(
     fixed-width, not the document), window ``row_number`` per hash ordered
     by id, keep rank 1. One scan + one shuffle (a groupBy-then-self-join
     would scan and shuffle twice).
+
+    The group key is (hash, length-of-normalized-text): a bare 64-bit hash
+    silently merges colliding *distinct* documents, and at billions of docs
+    the birthday bound makes that likely (~50% near 5B). Length is already
+    a cheap pure function of the same input; the combined key pushes the
+    collision probability to (same 64-bit hash ∧ same length) while the
+    shuffle key stays fixed-width.
     """
     order = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
-    h = df.withColumn("_k", F.xxhash64(_normalize(F.col(text_col))))
-    w = Window.partitionBy("_k").orderBy(order)
+    norm = _normalize(F.col(text_col))
+    h = df.withColumn("_k", F.xxhash64(norm)).withColumn("_kl", F.length(norm))
+    w = Window.partitionBy("_k", "_kl").orderBy(order)
     return (
         h.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
-        .drop("_k", "_rn")
+        .drop("_k", "_kl", "_rn")
     )
 
 

@@ -27,9 +27,20 @@ def salted_agg(
     keys: Sequence[str],
     aggs: dict[str, tuple[str, str]],
     salt_buckets: int = 16,
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """``aggs``: output_name → (function, column) with function in
     {count, sum, min, max, avg}.
+
+    The salt is a pure function of row CONTENT (``xxhash64`` of
+    ``salt_cols``, default all columns) — never ``rand()`` or
+    ``monotonically_increasing_id()``: a nondeterministic salt feeding a
+    shuffle key means a map task recomputed after a fetch failure re-salts
+    its rows differently, and reducers combine stale and fresh partials
+    (the SPARK-23207 failure class). Content salting is retry-stable and
+    keeps the repo invariant that everything is seeded. Fully identical
+    rows share a salt — acceptable: the hot keys that need spreading are
+    hot because of *many distinct* rows.
 
     Example::
 
@@ -64,8 +75,9 @@ def salted_agg(
         else:
             raise ValueError(f"non-algebraic aggregate {fn!r} cannot be salted")
 
+    salt_src = list(salt_cols) if salt_cols is not None else list(df.columns)
     salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()), F.lit(salt_buckets))
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in salt_src]), F.lit(salt_buckets))
     )
     phase1 = salted.groupBy(*keys, "_salt").agg(*phase1_exprs)
     return phase1.groupBy(*keys).agg(*phase2_exprs)

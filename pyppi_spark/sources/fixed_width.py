@@ -16,9 +16,14 @@ Line format (this engine's own fixed-width transcript log):
     cols 53-72  epoch micros   (int)
     cols 73+    text           (raw to end of line)
 
-The END handling needs the reference's *ordered prefix* semantics; file
-order is recovered per-file from a monotonically increasing id window —
-a genuinely order-dependent scan expressed relationally.
+The END handling needs the reference's *ordered prefix* semantics. Line
+order is made EXPLICIT: each file is read unsplit (``wholetext``) and lines
+get positions from ``posexplode`` — never inferred from
+``monotonically_increasing_id``, whose correspondence to file order is an
+undocumented artifact of split packing and breaks if a file ever spans
+splits. Trade-off: one task per file and the file must fit in a task
+(fine for this debug-scale log format; a production format at 100 TB
+should embed a sequence number in the record instead).
 """
 
 from __future__ import annotations
@@ -33,20 +38,21 @@ def _slice(col, start: int, end: int):
 
 def read_fixed_width_transcripts(spark: SparkSession, path: str) -> DataFrame:
     raw = (
-        spark.read.text(path)
+        spark.read.option("wholetext", "true")
+        .text(path)
         .withColumn("_file", F.input_file_name())
-        .withColumn("_pos", F.monotonically_increasing_id())
+        .select("_file", F.posexplode(F.split("value", r"\r?\n")).alias("_pos", "_line"))
     )
     typed = raw.select(
         "_file",
         "_pos",
-        F.trim(_slice(F.col("value"), 1, 4)).alias("_rec"),
-        F.trim(_slice(F.col("value"), 5, 16)).alias("conv_id"),
-        F.trim(_slice(F.col("value"), 17, 22)).try_cast("int").alias("turn_idx"),
-        F.trim(_slice(F.col("value"), 23, 32)).alias("role"),
-        F.trim(_slice(F.col("value"), 33, 52)).alias("tool"),
-        F.trim(_slice(F.col("value"), 53, 72)).try_cast("long").alias("_ts_us"),
-        F.substring(F.col("value"), 73, 1 << 20).alias("text"),
+        F.trim(_slice(F.col("_line"), 1, 4)).alias("_rec"),
+        F.trim(_slice(F.col("_line"), 5, 16)).alias("conv_id"),
+        F.trim(_slice(F.col("_line"), 17, 22)).try_cast("int").alias("turn_idx"),
+        F.trim(_slice(F.col("_line"), 23, 32)).alias("role"),
+        F.trim(_slice(F.col("_line"), 33, 52)).alias("tool"),
+        F.trim(_slice(F.col("_line"), 53, 72)).try_cast("long").alias("_ts_us"),
+        F.substring(F.col("_line"), 73, 1 << 20).alias("text"),
     )
     # END terminator: drop every line at or after the first END per file
     w = Window.partitionBy("_file").orderBy("_pos").rowsBetween(
