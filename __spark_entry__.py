@@ -175,6 +175,80 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J10 forward as-of: for each click, the first error at-or-after it
+    (per user) — the mirror of the PIT backward join; ties on the error
+    timestamp resolve to the min event_id (forward rule)."""
+    ev = _events(spark, sf_dir)
+    errors = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.min_by("value", "event_id").alias("value"),
+            F.min("event_id").alias("error_event_id"),
+        )
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(
+        clicks,
+        errors,
+        probe_ts="ts",
+        build_ts="ts",
+        by=("user_id",),
+        payload=["value", "error_event_id"],
+        inclusive=True,
+        tiebreak="error_event_id",
+        prefix="next_error_",
+        direction="forward",
+    )
+    return out.select(
+        "user_id",
+        _us("ts").alias("click_ts_us"),
+        "click_id",
+        F.round("next_error_value", 6).alias("next_error_value"),
+        F.col("next_error_error_event_id").alias("next_error_id"),
+    )
+
+
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 true-nearest join (the reference's kd-tree findNearest on the time
+    axis, /root/reference/pyPPI/kdtree.py:38-48): for each purchase, the
+    closest click in EITHER direction; equal |Δt| → backward wins."""
+    ev = _events(spark, sf_dir)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by("value", "event_id").alias("value"),
+            F.max("event_id").alias("click_event_id"),
+        )
+    )
+    probes = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    out = asof_join(
+        probes,
+        clicks,
+        probe_ts="ts",
+        build_ts="ts",
+        by=("user_id",),
+        payload=["value", "click_event_id"],
+        inclusive=True,
+        tiebreak="click_event_id",
+        prefix="near_",
+        direction="nearest",
+    )
+    return out.select(
+        "user_id",
+        _us("ts").alias("purchase_ts_us"),
+        "purchase_id",
+        F.round("near_value", 6).alias("near_click_value"),
+        F.col("near_click_event_id").alias("near_click_id"),
+    )
+
+
 def q_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3-A7 per-entity feature vector: counts by type, directed type-bigram
     transition counts (J12/A5 analog), latency aggregates, session count."""
@@ -682,6 +756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_lead": q_lag_lead,
         "backfill": q_backfill,
         "asof_join": q_asof_join,
+        "asof_forward": q_asof_forward,
+        "asof_nearest": q_asof_nearest,
         "user_features": q_user_features,
         "range_join": q_range_join,
         "equi_join": q_equi_join,
@@ -844,6 +920,42 @@ SELECT e.user_id, epoch_us(e.ts) AS error_ts_us, e.error_id,
        round(c.value, 6) AS last_click_value,
        c.click_event_id AS last_click_event_id
 FROM errors e ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts >= c.ts
+""",
+        "asof_forward": """
+WITH errors AS (
+  SELECT user_id, ts, arg_min(value, event_id) AS value, min(event_id) AS error_event_id
+  FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+), clicks AS (
+  SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'
+)
+SELECT c.user_id, epoch_us(c.ts) AS click_ts_us, c.click_id,
+       round(e.value, 6) AS next_error_value,
+       e.error_event_id AS next_error_id
+FROM clicks c ASOF LEFT JOIN errors e ON c.user_id = e.user_id AND c.ts <= e.ts
+""",
+        "asof_nearest": """
+WITH clicks AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS value, max(event_id) AS click_event_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), probes AS (
+  SELECT user_id, ts, event_id AS purchase_id FROM events WHERE event_type = 'purchase'
+), b AS (
+  SELECT p.user_id, p.ts, p.purchase_id, c.ts AS bts, c.value AS bvalue, c.click_event_id AS bid
+  FROM probes p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+), f AS (
+  SELECT p.purchase_id, c.ts AS fts, c.value AS fvalue, c.click_event_id AS fid
+  FROM probes p ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts <= c.ts
+), picked AS (
+  SELECT b.user_id, b.ts, b.purchase_id,
+         (b.bts IS NULL OR (f.fts IS NOT NULL
+            AND (epoch_us(f.fts) - epoch_us(b.ts)) < (epoch_us(b.ts) - epoch_us(b.bts)))) AS take_fwd,
+         b.bvalue, b.bid, f.fvalue, f.fid
+  FROM b JOIN f ON b.purchase_id = f.purchase_id
+)
+SELECT user_id, epoch_us(ts) AS purchase_ts_us, purchase_id,
+       round(CASE WHEN take_fwd THEN fvalue ELSE bvalue END, 6) AS near_click_value,
+       CASE WHEN take_fwd THEN fid ELSE bid END AS near_click_id
+FROM picked
 """,
         "user_features": _user_features_sql(),
         "range_join": """

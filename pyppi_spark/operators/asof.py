@@ -49,6 +49,17 @@ def _default_payload(build: DataFrame, by: Sequence[str], build_ts: str, tiebrea
     return [c for c in build.columns if c not in drop]
 
 
+def _ts_numeric(col: F.Column, dtype) -> F.Column:
+    """Order-preserving numeric image of a timestamp-or-numeric column
+    (Spark 4 forbids cast(timestamp_ntz as double) — route via
+    unix_micros)."""
+    import pyspark.sql.types as T
+
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return F.unix_micros(col.cast("timestamp")).cast("double")
+    return col.cast("double")
+
+
 def asof_join_union(
     probe: DataFrame,
     build: DataFrame,
@@ -62,60 +73,81 @@ def asof_join_union(
     direction: str = "backward",
 ) -> DataFrame:
     """``direction``: ``backward`` (last build row at-or-before, the PIT
-    default) or ``forward`` (first build row at-or-after — the mirror,
-    via ``first`` over the following frame)."""
-    if direction not in ("backward", "forward"):
+    default), ``forward`` (first build row at-or-after — the mirror, via
+    ``first`` over the following frame), or ``nearest`` (closest in either
+    direction — the true-nearest J2 semantics of the reference's kd-tree
+    probe, ``/root/reference/pyPPI/kdtree.py:38-48``).
+
+    Nearest tie rules (pinned, tested): equal |Δt| → the BACKWARD match
+    wins; within a side, build-ts ties resolve as that side does (backward:
+    max tiebreak, forward: min tiebreak). ``inclusive`` governs exact-ts
+    matches in both directions at once. Physical shape: still ONE shuffle —
+    both direction windows share the entity-key partitioning (two sorts
+    over one exchange)."""
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction {direction!r}")
     by = list(by)
     payload = list(payload) if payload is not None else _default_payload(build, by, build_ts, tiebreak)
 
     # Side ordering on timestamp ties: for backward-inclusive, build rows
     # sort BEFORE probe rows so a build row at exactly probe_ts is visible
-    # (strict: after). Forward mirrors this.
-    if direction == "backward":
-        build_order, probe_order = (0, 1) if inclusive else (1, 0)
-    else:
-        build_order, probe_order = (1, 0) if inclusive else (0, 1)
+    # (strict: after). Forward mirrors this. Nearest needs both orderings —
+    # carried as two side columns feeding two windows.
+    sb_build, sb_probe = (0, 1) if inclusive else (1, 0)   # backward window
+    sf_build, sf_probe = (1, 0) if inclusive else (0, 1)   # forward window
 
     probe_cols = [c for c in probe.columns if c not in by and c != probe_ts]
     b = build.select(
         *by,
         F.col(build_ts).alias("_t"),
-        F.lit(build_order).alias("_side"),
+        F.lit(False).alias("_is_probe"),
+        F.lit(sb_build).alias("_sb"),
+        F.lit(sf_build).alias("_sf"),
         (F.col(tiebreak) if tiebreak else F.lit(0)).cast("long").alias("_tie"),
-        F.struct(*[F.col(c) for c in payload]).alias("_payload"),
+        F.struct(
+            _ts_numeric(F.col(build_ts), build.schema[build_ts].dataType).alias("_bt"),
+            *[F.col(c) for c in payload],
+        ).alias("_payload"),
         *[F.lit(None).cast(probe.schema[c].dataType).alias(c) for c in probe_cols],
     )
     p = probe.select(
         *by,
         F.col(probe_ts).alias("_t"),
-        F.lit(probe_order).alias("_side"),
+        F.lit(True).alias("_is_probe"),
+        F.lit(sb_probe).alias("_sb"),
+        F.lit(sf_probe).alias("_sf"),
         F.lit(None).cast("long").alias("_tie"),
         F.lit(None).cast(b.schema["_payload"].dataType).alias("_payload"),
         *probe_cols,
     )
+    u = b.unionByName(p)
 
+    w_b = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("_t"), F.col("_sb"), F.col("_tie").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_f = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("_t"), F.col("_sf"), F.col("_tie").asc_nulls_first())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
     if direction == "backward":
-        w = (
-            Window.partitionBy(*by)
-            .orderBy(F.col("_t"), F.col("_side"), F.col("_tie").asc_nulls_last())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        matched = F.last("_payload", ignorenulls=True).over(w)
-    else:
+        u = u.withColumn("_m", F.last("_payload", ignorenulls=True).over(w_b))
+    elif direction == "forward":
         # forward: first build row at-or-after; ties among build rows take
         # the SMALLEST (ts, tiebreak) ≥ probe
-        w = (
-            Window.partitionBy(*by)
-            .orderBy(F.col("_t"), F.col("_side"), F.col("_tie").asc_nulls_first())
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        u = u.withColumn("_m", F.first("_payload", ignorenulls=True).over(w_f))
+    else:
+        u = u.withColumn("_mb", F.last("_payload", ignorenulls=True).over(w_b))
+        u = u.withColumn("_mf", F.first("_payload", ignorenulls=True).over(w_f))
+        pt = _ts_numeric(F.col("_t"), probe.schema[probe_ts].dataType)
+        take_fwd = F.col("_mb").isNull() | (
+            F.col("_mf").isNotNull()
+            & ((F.col("_mf._bt") - pt) < (pt - F.col("_mb._bt")))
         )
-        matched = F.first("_payload", ignorenulls=True).over(w)
-    out = (
-        b.unionByName(p)
-        .withColumn("_m", matched)
-        .where(F.col("_side") == F.lit(probe_order))
-    )
+        u = u.withColumn("_m", F.when(take_fwd, F.col("_mf")).otherwise(F.col("_mb")))
+    out = u.where(F.col("_is_probe"))
     return out.select(
         *by,
         F.col("_t").alias(probe_ts),
@@ -170,14 +202,30 @@ def asof_join_merge(
             if oc != c:
                 r[oc] = r[c]
         r = r[list(dict.fromkeys([build_ts] + out_payload))]
-        m = pd.merge_asof(
-            left,
-            r,
-            left_on=probe_ts,
-            right_on=build_ts,
-            direction=direction,
-            allow_exact_matches=inclusive,
-        )
+        if direction == "nearest":
+            # composed backward+forward with the union form's pinned tie
+            # rule (equal |Δt| → backward) rather than pandas' own
+            # direction="nearest", so the two strategies stay bit-equal
+            kw = dict(left_on=probe_ts, right_on=build_ts, allow_exact_matches=inclusive)
+            mb = pd.merge_asof(left, r, direction="backward", **kw)
+            mf = pd.merge_asof(left, r, direction="forward", **kw)
+            pt = left[probe_ts].reset_index(drop=True)
+            bt_b = mb[build_ts].reset_index(drop=True)
+            bt_f = mf[build_ts].reset_index(drop=True)
+            take_fwd = bt_b.isna() | (bt_f.notna() & ((bt_f - pt) < (pt - bt_b)))
+            m = mb.reset_index(drop=True)
+            mf = mf.reset_index(drop=True)
+            for c in list(dict.fromkeys([build_ts] + out_payload)):
+                m.loc[take_fwd, c] = mf.loc[take_fwd, c]
+        else:
+            m = pd.merge_asof(
+                left,
+                r,
+                left_on=probe_ts,
+                right_on=build_ts,
+                direction=direction,
+                allow_exact_matches=inclusive,
+            )
         if build_ts != probe_ts and build_ts in m.columns and build_ts not in out_names:
             m = m.drop(columns=[build_ts])
         return m[out_names]

@@ -163,3 +163,59 @@ def test_forward_union_matches_merge(spark, tiny_df, probes_df, inclusive):
         .toPandas().sort_values("probe_id").reset_index(drop=True)
     )
     assert a["matched_turn_idx"].fillna(-1).tolist() == b["matched_turn_idx"].fillna(-1).tolist()
+
+
+@pytest.mark.parametrize("strategy", ["union", "merge"])
+@pytest.mark.parametrize("inclusive", [True, False])
+def test_nearest_direction(spark, strategy, inclusive):
+    build = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                ("c", 0, "user", "past", None, t(10)),
+                ("c", 1, "assistant", "exact", None, t(20)),
+                ("c", 2, "user", "future", None, t(31)),
+            ],
+            columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+        ),
+        schema=TRANSCRIPTS,
+    )
+    probes = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                ("c", t(20), "on_exact"),     # Δ=0 backward (inclusive only)
+                ("c", t(24), "lean_back"),    # Δback=4 < Δfwd=7
+                ("c", t(28), "lean_fwd"),     # Δback=8 > Δfwd=3
+                ("c", t(25.5), "equidistant") # Δ=5.5 both → backward wins
+            ],
+            columns=["conv_id", "probe_ts", "probe_id"],
+        ),
+        schema=PROBES,
+    )
+    out = (
+        asof_join(
+            probes, build, strategy=strategy, payload=["text"],
+            inclusive=inclusive, direction="nearest",
+        )
+        .toPandas()
+        .set_index("probe_id")["matched_text"]
+    )
+    # strict mode excludes the Δ=0 exact row; next-nearest is past (Δ10) vs future (Δ11)
+    assert out["on_exact"] == ("exact" if inclusive else "past")
+    assert out["lean_back"] == "exact"
+    assert out["lean_fwd"] == "future"
+    assert out["equidistant"] == "exact"  # pinned: equal |Δt| → backward
+
+
+@pytest.mark.parametrize("inclusive", [True, False])
+def test_nearest_union_matches_merge(spark, tiny_df, probes_df, inclusive):
+    a = (
+        asof_join(probes_df, tiny_df, strategy="union", payload=["turn_idx"],
+                  inclusive=inclusive, direction="nearest")
+        .toPandas().sort_values("probe_id").reset_index(drop=True)
+    )
+    b = (
+        asof_join(probes_df, tiny_df, strategy="merge", payload=["turn_idx"],
+                  inclusive=inclusive, direction="nearest")
+        .toPandas().sort_values("probe_id").reset_index(drop=True)
+    )
+    assert a["matched_turn_idx"].fillna(-1).tolist() == b["matched_turn_idx"].fillna(-1).tolist()
