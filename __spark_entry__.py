@@ -688,21 +688,30 @@ def q_ngram_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dedup_representatives(docs, dups).select("doc_id")
 
 
+# committed deterministic fixture (pyppi_spark.operators.multimodal.
+# write_media_fixture, n=60 seed=42) — a real parquet file so the DuckDB
+# oracle reads the identical binary payloads the Spark kernels consume
+MEDIA_FIXTURE = "/root/repo/fixtures/media.parquet"
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload → Arrow mapInPandas feature
-    kernel (decode stubbed deterministically; rows-only check)."""
-    from pyppi_spark.operators.multimodal import gen_media, image_features
+    kernel. Oracle verifies the decoder-independent byte-level columns
+    (row fan-in, byte counts, an injective payload fingerprint) — the
+    decode itself is a documented stub."""
+    from pyppi_spark.operators.multimodal import image_features
 
-    media = gen_media(spark, n=60, seed=42)
-    return image_features(media).select("media_id", "n_bytes", "sha256", "mean_luma")
+    media = spark.read.parquet(MEDIA_FIXTURE)
+    return image_features(media).select("media_id", "n_bytes", "payload_digest")
 
 
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling via flatMap-shaped mapInPandas (stubbed
-    extractor; rows-only check)."""
-    from pyppi_spark.operators.multimodal import frame_sample, gen_media
+    extractor). Oracle verifies the frame fan-out: count and timestamps
+    per video."""
+    from pyppi_spark.operators.multimodal import frame_sample
 
-    media = gen_media(spark, n=60, seed=42)
+    media = spark.read.parquet(MEDIA_FIXTURE)
     return frame_sample(media, every_s=2.0).select("media_id", "frame_idx", "frame_ts_s")
 
 
@@ -1143,8 +1152,24 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """,
-        # minhash_lsh, simhash, ann_ivf, ngram_near_dedup, media_features,
-        # frame_sample: intentionally no oracle (xxhash64 signatures /
-        # engine-internal quantizers / binary payloads are not expressible
-        # in DuckDB) → driver rows-only check.
+        "media_features": f"""
+SELECT media_id,
+       octet_length(payload)::BIGINT AS n_bytes,
+       sha256(hex(payload)) AS payload_digest
+FROM read_parquet('{MEDIA_FIXTURE}')
+WHERE kind = 'image'
+""",
+        "frame_sample": f"""
+SELECT media_id,
+       i::INT AS frame_idx,
+       i * 2.0 AS frame_ts_s
+FROM (
+  SELECT media_id, unnest(generate_series(0, floor(duration_s / 2.0)::BIGINT - 1)) AS i
+  FROM read_parquet('{MEDIA_FIXTURE}')
+  WHERE kind = 'video'
+)
+""",
+        # ann_ivf: intentionally no oracle (the IVF coarse quantizer is an
+        # engine-internal k-means; exactness is covered by similarity_topk's
+        # oracle and the recall tests) → driver rows-only check.
     }

@@ -247,14 +247,73 @@ def ngram_jaccard_pairs(
     return out
 
 
+def near_dup_components(
+    dup_pairs: DataFrame,
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs (columns ``a``, ``b``) by
+    min-id label propagation to fixpoint → (node, label) where ``label`` is
+    the smallest id reachable from ``node``.
+
+    Each round: every node takes min(own label, neighbors' labels) — one
+    equi-join + one hash aggregation, converging in O(component diameter)
+    rounds. Near-dup graphs are almost-cliques (LSH+verify edges), so the
+    diameter is tiny; for adversarially long chains switch to alternating
+    large-star/small-star (O(log n) rounds) — same loop skeleton.
+    ``localCheckpoint`` truncates the lineage each round (an iterative plan
+    otherwise grows exponentially), and convergence is detected by a
+    content hash of the label set (labels only ever decrease, so an
+    unchanged hash means a fixpoint).
+    """
+    e = dup_pairs.select(F.col("a").alias("s"), F.col("b").alias("d"))
+    edges = (
+        e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("s").alias("node")).distinct().withColumn("label", F.col("node"))
+    )
+    prev = None
+    for _ in range(max_iters):
+        neigh = edges.join(
+            labels.select(F.col("node").alias("d"), "label"), "d"
+        ).select(F.col("s").alias("node"), "label")
+        labels = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        # bit_xor digest: overflow-free under ANSI (sum of hashes throws),
+        # order-free, and (node,label) rows are unique so nothing cancels
+        digest = labels.agg(F.expr("bit_xor(xxhash64(node, label))")).collect()[0][0]
+        if digest == prev:
+            break
+        prev = digest
+    return labels
+
+
 def near_dedup_representatives(
     df: DataFrame,
     dup_pairs: DataFrame,
     id_col: str = "doc_id",
+    transitive: bool = True,
 ) -> DataFrame:
-    """Pick survivors given near-dup pairs: drop every doc that appears as the
-    larger id in a pair with a smaller id (union-find light: sufficient when
-    duplicate clusters are cliques from LSH+verify; full connected components
-    would need an iterative join — out of v1 scope, documented)."""
-    losers = dup_pairs.select(F.col("b").alias(id_col)).distinct()
+    """Pick survivors given near-dup pairs: each connected component of the
+    pair graph keeps exactly its min-id member (transitive closure — a
+    chain A≈B≈C keeps only A even though (A,C) is not an edge). The
+    reference analog is the ``insert ignore`` key-dedup closure
+    (``/root/reference/pyPPI/sqls/createInterface.sql:7``).
+
+    ``transitive=False`` restores the cheaper pair-loser rule (drop every
+    doc appearing as the larger id of a pair) — exact only when clusters
+    are cliques."""
+    if transitive:
+        comp = near_dup_components(dup_pairs)
+        losers = comp.where(F.col("node") != F.col("label")).select(
+            F.col("node").alias(id_col)
+        )
+    else:
+        losers = dup_pairs.select(F.col("b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")

@@ -45,6 +45,10 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("media_id", T.StringType(), False),
         T.StructField("n_bytes", T.LongType(), False),
         T.StructField("sha256", T.StringType(), False),
+        # sha256 over the UPPERCASE hex encoding of the payload — an
+        # injective fingerprint a SQL oracle can reproduce (DuckDB digests
+        # accept VARCHAR only: sha256(hex(payload)))
+        T.StructField("payload_digest", T.StringType(), False),
         T.StructField("mean_luma", T.DoubleType(), True),
         T.StructField("embedding", T.ArrayType(T.FloatType()), True),
     ]
@@ -83,22 +87,29 @@ def image_features(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = r["payload"] or b""
-                plane = decoder(payload)
-                digest = hashlib.sha256(payload).hexdigest()
-                emb_rng = np.random.default_rng(int(digest[:8], 16))
-                rows.append(
-                    {
-                        "media_id": r["media_id"],
-                        "n_bytes": len(payload),
-                        "sha256": digest,
-                        "mean_luma": float(plane.mean()),
-                        "embedding": emb_rng.standard_normal(embed_dim).astype(np.float32).tolist(),
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
+            # byte-level columns vectorize over the batch; only the decode
+            # step (inherently per-object) loops
+            payloads = [(p or b"") for p in pdf["payload"]]
+            digests = [hashlib.sha256(p).hexdigest() for p in payloads]
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "n_bytes": np.fromiter((len(p) for p in payloads), dtype="int64", count=len(payloads)),
+                    "sha256": digests,
+                    "payload_digest": [
+                        hashlib.sha256(p.hex().upper().encode()).hexdigest() for p in payloads
+                    ],
+                    "mean_luma": [float(decoder(p).mean()) for p in payloads],
+                    "embedding": [
+                        np.random.default_rng(int(d[:8], 16))
+                        .standard_normal(embed_dim)
+                        .astype(np.float32)
+                        .tolist()
+                        for d in digests
+                    ],
+                }
+            )
+            yield out[[f.name for f in IMAGE_FEATURES_SCHEMA.fields]]
 
     pruned = media.where(media.kind == "image").select(
         "media_id", "payload"
@@ -123,17 +134,18 @@ def frame_sample(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                duration = r["duration_s"] or 0.0
-                n = max(int(duration // every_s), 0)
+            for mid, payload, duration in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_s"]
+            ):
+                n = max(int((duration or 0.0) // every_s), 0)
                 for i in range(n):
                     ts = i * every_s
                     rows.append(
                         {
-                            "media_id": r["media_id"],
+                            "media_id": mid,
                             "frame_idx": i,
                             "frame_ts_s": ts,
-                            "frame": ex(r["payload"], ts),
+                            "frame": ex(payload, ts),
                         }
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SAMPLE_SCHEMA.fields])
@@ -142,9 +154,7 @@ def frame_sample(
     return pruned.mapInPandas(kernel, schema=FRAME_SAMPLE_SCHEMA)
 
 
-def gen_media(spark, n: int = 50, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic media table (binary payloads are seeded
-    noise — no external data)."""
+def _gen_media_rows(n: int = 50, seed: int = 42) -> list[tuple]:
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     rows = []
@@ -163,4 +173,37 @@ def gen_media(spark, n: int = 50, seed: int = 42) -> DataFrame:
                 16000 if kind == "audio" else None,
             )
         )
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    return rows
+
+
+def gen_media(spark, n: int = 50, seed: int = 42) -> DataFrame:
+    """Deterministic synthetic media table (binary payloads are seeded
+    noise — no external data)."""
+    return spark.createDataFrame(_gen_media_rows(n, seed), schema=MEDIA_SCHEMA)
+
+
+def write_media_fixture(path: str, n: int = 60, seed: int = 42) -> None:
+    """Write the deterministic media table as ONE parquet file (pyarrow,
+    atomic replace) so a SQL oracle can read the identical bytes."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = list(zip(*_gen_media_rows(n, seed)))
+    names = [f.name for f in MEDIA_SCHEMA.fields]
+    table = pa.table(
+        {
+            "media_id": pa.array(cols[0], pa.string()),
+            "kind": pa.array(cols[1], pa.string()),
+            "payload": pa.array(cols[2], pa.binary()),
+            "mime": pa.array(cols[3], pa.string()),
+            "width": pa.array(cols[4], pa.int32()),
+            "height": pa.array(cols[5], pa.int32()),
+            "duration_s": pa.array(cols[6], pa.float64()),
+            "sample_rate": pa.array(cols[7], pa.int32()),
+        }
+    )
+    assert table.column_names == names
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)

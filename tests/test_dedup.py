@@ -72,3 +72,30 @@ def test_simhash_near_dup_small_hamming(spark):
     ham_near = bin((h[0] ^ h[3]) & 0xFFFFFFFFFFFFFFFF).count("1")
     ham_far = bin((h[0] ^ h[4]) & 0xFFFFFFFFFFFFFFFF).count("1")
     assert ham_near < ham_far
+
+
+def test_transitive_chain_keeps_only_component_min(spark):
+    """A≈B≈C chain where (A,C) is NOT an edge: transitive clustering keeps
+    exactly A; the pair-loser rule would keep nothing but A too, but a
+    chain like B≈C with C<B in another component shows the difference."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], "doc_id long, text string"
+    )
+    # components: {0,1,2} via chain edges (0,1),(1,2); {5,7} via (5,7)
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (5, 7)], "a long, b long")
+    kept = sorted(
+        r.doc_id
+        for r in __import__("pyppi_spark.operators.dedup", fromlist=["x"])
+        .near_dedup_representatives(docs, pairs)
+        .collect()
+    )
+    assert kept == [0, 3, 4, 5, 6, 8, 9]
+
+
+def test_components_long_chain_converges(spark):
+    from pyppi_spark.operators.dedup import near_dup_components
+
+    # a 12-node path graph — worst-case diameter for the propagation loop
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(11)], "a long, b long")
+    comp = {r.node: r.label for r in near_dup_components(pairs).collect()}
+    assert set(comp.values()) == {0} and len(comp) == 12

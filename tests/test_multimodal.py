@@ -12,7 +12,7 @@ def test_image_features_schema_and_determinism(spark):
     out1 = image_features(media).orderBy("media_id").toPandas()
     out2 = image_features(media).orderBy("media_id").toPandas()
     assert len(out1) == media.where(F.col("kind") == "image").count()
-    assert list(out1.columns) == ["media_id", "n_bytes", "sha256", "mean_luma", "embedding"]
+    assert list(out1.columns) == ["media_id", "n_bytes", "sha256", "payload_digest", "mean_luma", "embedding"]
     assert out1["sha256"].tolist() == out2["sha256"].tolist()
     assert out1["mean_luma"].tolist() == out2["mean_luma"].tolist()
     assert all(len(e) == 16 for e in out1["embedding"])
