@@ -744,18 +744,22 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidate pairs on documents (no SQL oracle —
-    signature hashing not expressible in DuckDB; driver rows-only check)."""
+    """MinHash+LSH near-dup candidate pairs on documents. Portable hash
+    mode (md5-prefix) so DuckDB reproduces the signatures bit-for-bit; the
+    production path keeps xxhash64 (timed separately in bench.py)."""
     docs = _documents(spark, sf_dir)
-    sigs = minhash_signatures(docs, num_hashes=64, shingle_n=3, seed=42)
+    sigs = minhash_signatures(docs, num_hashes=64, shingle_n=3, seed=42, hash_mode="portable")
     return minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash64 fingerprints (no SQL oracle — xxhash64 not in DuckDB;
-    rows-only check)."""
+    """SimHash fingerprints, portable-hash variant emitted as two 32-bit
+    halves so the oracle reproduces them exactly (the production simhash64
+    keeps xxhash64 and one 64-bit word)."""
+    from pyppi_spark.operators.dedup import simhash_portable32
+
     docs = _documents(spark, sf_dir)
-    return simhash64(docs)
+    return simhash_portable32(docs)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -846,6 +850,118 @@ SELECT user_id,
   {bigrams}
 FROM enriched
 GROUP BY user_id
+"""
+
+
+_NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+_H32 = "('0x'||substr(md5({x}),1,8))::BIGINT"
+
+
+def _minhash_lsh_sql(num_hashes: int = 64, seed: int = 42, bands: int = 16, rows_per_band: int = 4) -> str:
+    """DuckDB mirror of minhash_signatures(hash_mode='portable') +
+    minhash_lsh_candidates: identical word/shingle hashing (md5-prefix),
+    identical universal-hash coefficients, banding joined on the raw band
+    tuple (Spark's xxhash64 band key equality ⟺ tuple equality)."""
+    from pyppi_spark.operators.dedup import MERSENNE_P, _minhash_coeffs
+
+    a, b = _minhash_coeffs(num_hashes, seed)
+    p = MERSENNE_P
+    mins = ",\n    ".join(
+        f"min((({a[i]} * hv) % {p} + {b[i]}) % {p}) AS m{i}" for i in range(num_hashes)
+    )
+    band_structs = ", ".join(
+        "{'band_idx': %d, 'key': %s}"
+        % (i, "||','||".join(f"m{i * rows_per_band + j}::VARCHAR" for j in range(rows_per_band)))
+        for i in range(bands)
+    )
+    return f"""
+WITH W AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents
+), H AS (
+  SELECT doc_id, list_transform(ws, w -> {_H32.format(x='w')}) AS hs FROM W
+), G AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) < 3 THEN [array_to_string(hs, '|')]
+         ELSE list_transform(generate_series(1, len(hs)-2),
+                             i -> hs[i]::VARCHAR||'|'||hs[i+1]::VARCHAR||'|'||hs[i+2]::VARCHAR)
+    END AS grams
+  FROM H
+), SHD AS (
+  SELECT DISTINCT doc_id, ({_H32.format(x='g')}) % {p} AS hv
+  FROM (SELECT doc_id, unnest(grams) AS g FROM G)
+), SIG AS (
+  SELECT doc_id,
+    {mins}
+  FROM SHD GROUP BY doc_id
+), B AS (
+  SELECT doc_id, u.band_idx AS band_idx, u.key AS key
+  FROM (SELECT doc_id, unnest([{band_structs}]) AS u FROM SIG)
+)
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM B l JOIN B r ON l.band_idx = r.band_idx AND l.key = r.key AND l.doc_id < r.doc_id
+"""
+
+
+def _simhash_sql() -> str:
+    """DuckDB mirror of simhash_portable32."""
+    h0 = _H32.format(x="'0|'||t")
+    h1 = _H32.format(x="'1|'||t")
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN (h{0 if bit < 32 else 1} >> {bit % 32}) & 1 = 1 THEN 1 ELSE -1 END) AS b{bit}"
+        for bit in range(64)
+    )
+
+    def assemble(bits):
+        return (
+            "("
+            + " + ".join(f"(CASE WHEN b{bit} > 0 THEN {1 << (bit % 32)} ELSE 0 END)" for bit in bits)
+            + ")::BIGINT"
+        )
+
+    return f"""
+WITH T AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS t FROM documents
+), H AS (
+  SELECT doc_id, {h0} AS h0, {h1} AS h1 FROM T
+), A AS (
+  SELECT doc_id,
+    {sums}
+  FROM H GROUP BY doc_id
+)
+SELECT doc_id, {assemble(range(32, 64))} AS simhash_hi, {assemble(range(0, 32))} AS simhash_lo
+FROM A
+"""
+
+
+def _ngram_near_dedup_sql(threshold: float = 0.8, shingle_n: int = 3) -> str:
+    """Brute-force ground truth for the LSH pipeline: exact n-gram Jaccard
+    over ALL pairs + transitive min-id components via a recursive CTE. At
+    bands=32/rows=2 the LSH miss probability at s≥0.8 is (1−0.64)^32 ≈
+    6e-15, so the pipelines must produce identical survivor sets."""
+    assert shingle_n == 3
+    return f"""
+WITH RECURSIVE W AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents
+), S AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         ELSE list_distinct(list_transform(generate_series(1, len(ws)-2),
+                            i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))
+    END AS sh
+  FROM W
+), P AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM S x JOIN S y ON x.doc_id < y.doc_id
+  WHERE len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(x.sh || y.sh))::DOUBLE
+        >= {threshold}
+), N AS (SELECT a AS n FROM P UNION SELECT b FROM P
+), E AS (SELECT a AS s, b AS d FROM P UNION SELECT b, a FROM P
+), R(n, l) AS (
+  SELECT n, n FROM N
+  UNION
+  SELECT e.d, r.l FROM R r JOIN E e ON r.n = e.s
+), C AS (SELECT n, min(l) AS rep FROM R GROUP BY n)
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT n FROM C WHERE n <> rep)
 """
 
 
@@ -1169,6 +1285,9 @@ FROM (
   WHERE kind = 'video'
 )
 """,
+        "minhash_lsh": _minhash_lsh_sql(num_hashes=64, seed=42, bands=16, rows_per_band=4),
+        "simhash": _simhash_sql(),
+        "ngram_near_dedup": _ngram_near_dedup_sql(threshold=0.8, shingle_n=3),
         # ann_ivf: intentionally no oracle (the IVF coarse quantizer is an
         # engine-internal k-means; exactness is covered by similarity_topk's
         # oracle and the recall tests) → driver rows-only check.

@@ -29,6 +29,26 @@ def _normalize(col):
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
+def _portable_hash32(col):
+    """32-bit hash reproducible in ANSI SQL engines: the integer value of
+    the first 8 hex chars of md5. Spark
+    ``conv(substring(md5(x),1,8),16,10)`` == DuckDB
+    ``('0x'||substr(md5(x),1,8))::BIGINT`` — used by the ``portable`` hash
+    mode so signature queries get value-level oracles. ~3× slower than
+    xxhash64 (cryptographic digest); the default ``fast`` mode stays on
+    xxhash64 for production."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+
+def _word_hash(col, hash_mode: str):
+    if hash_mode == "fast":
+        return F.xxhash64(col)
+    if hash_mode == "portable":
+        return _portable_hash32(col)
+    raise ValueError(f"unknown hash_mode {hash_mode!r}")
+
+
 def exact_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -87,6 +107,7 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_n: int = 3,
     seed: int = 42,
+    hash_mode: str = "fast",
 ) -> DataFrame:
     """Per-document MinHash signature: array<long> of length ``num_hashes``.
 
@@ -108,12 +129,17 @@ def minhash_signatures(
 
     Documents shorter than ``shingle_n`` words keep their ``pos == 0`` row
     (a partial shingle) so every document gets a signature.
+
+    ``hash_mode="portable"`` swaps xxhash64 for the md5-prefix hash
+    (``_portable_hash32``) at both hashing sites, making the signatures
+    bit-reproducible in DuckDB — the driver oracle runs the identical
+    construction in SQL. Keep ``fast`` for production.
     """
     a, b = _minhash_coeffs(num_hashes, seed)
     words = df.select(
         F.col(id_col),
         F.posexplode(F.split(_normalize(F.col(text_col)), " ")).alias("_pos", "_wd"),
-    ).select(F.col(id_col), "_pos", F.xxhash64("_wd").alias("_h0"))
+    ).select(F.col(id_col), "_pos", _word_hash(F.col("_wd"), hash_mode).alias("_h0"))
     w = Window.partitionBy(id_col).orderBy("_pos")
     lead_cols = [F.lead("_h0", j).over(w).alias(f"_h{j}") for j in range(1, shingle_n)]
     sh = (
@@ -122,7 +148,7 @@ def minhash_signatures(
         .select(
             F.col(id_col),
             F.pmod(
-                F.xxhash64(F.concat_ws("|", *[f"_h{j}" for j in range(shingle_n)])),
+                _word_hash(F.concat_ws("|", *[f"_h{j}" for j in range(shingle_n)]), hash_mode),
                 F.lit(MERSENNE_P),
             ).alias("_h"),
         )
@@ -217,6 +243,46 @@ def simhash64(
             )
         )
     return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_portable32(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash with SQL-reproducible hashing, emitted as two 32-bit halves
+    (``simhash_hi``, ``simhash_lo`` — each a nonneg long): bit b<32 comes
+    from bit b of ``_portable_hash32('0|'||token)``, bit b≥32 from bit b−32
+    of ``_portable_hash32('1|'||token)``. Halves avoid 64-bit assembly,
+    which differs across engines at the sign bit. Same physical shape as
+    ``simhash64``: one explode + one 64-sum hash aggregation."""
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(F.split(_normalize(F.col(text_col)), " ")).alias("_t"),
+    ).select(
+        F.col(id_col),
+        _portable_hash32(F.concat(F.lit("0|"), F.col("_t"))).alias("_h0"),
+        _portable_hash32(F.concat(F.lit("1|"), F.col("_t"))).alias("_h1"),
+    )
+    sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h0" if bit < 32 else "_h1"), bit % 32).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_b{bit}")
+        for bit in range(64)
+    ]
+    agg = exploded.groupBy(id_col).agg(*sums)
+
+    def assemble(bits: range):
+        s = F.lit(0).cast("long")
+        for bit in bits:
+            s = s + F.when(F.col(f"_b{bit}") > 0, F.lit(1 << (bit % 32)).cast("long")).otherwise(F.lit(0).cast("long"))
+        return s
+
+    return agg.select(
+        F.col(id_col),
+        assemble(range(32, 64)).alias("simhash_hi"),
+        assemble(range(0, 32)).alias("simhash_lo"),
+    )
 
 
 def ngram_jaccard_pairs(
