@@ -10,11 +10,12 @@ buckets and recomputing only the rest.
 
 Protocol (exactly-once per bucket):
 1. plan: enumerate buckets = ``xxhash64(conv_id) pmod n_buckets``.
-2. for each pending bucket: compute → write output partition
-   (``partitionBy(bucket)``, dynamic overwrite = idempotent on retry)
-   → append ``done`` ledger row (write-then-commit ordering: the ledger row
-   is written only after the data lands, so a crash between the two leaves
-   the bucket pending and it is safely overwritten on resume).
+2. compute ALL pending buckets in one job: filter input to the pending
+   bucket set → transform → write output partitions (``partitionBy(bucket)``,
+   dynamic overwrite = idempotent on retry) → append ``done`` ledger rows in
+   one batch (write-then-commit ordering: ledger rows land only after the
+   data, so a crash between the two leaves those buckets pending and they
+   are safely overwritten on resume).
 3. resume: pending = all buckets − ledger ``done`` buckets for (run_id,
    input_lineage).
 
@@ -84,9 +85,21 @@ class CheckpointLedger:
         rows_out: int | None = None,
         metrics: dict | None = None,
     ) -> None:
+        self.mark_many(run_id, [(bucket, status, rows_in, rows_out, metrics)], lineage)
+
+    def mark_many(
+        self,
+        run_id: str,
+        entries: list[tuple],
+        lineage: str,
+    ) -> None:
+        """Append ledger rows for many buckets in ONE write (the per-bucket
+        append was n_buckets tiny commits). ``entries``: (bucket, status,
+        rows_in, rows_out, metrics) tuples."""
         import datetime as dt
 
-        row = [
+        now = dt.datetime.utcnow()
+        rows = [
             (
                 run_id,
                 str(bucket),
@@ -95,10 +108,11 @@ class CheckpointLedger:
                 rows_out,
                 lineage,
                 json.dumps(metrics or {}),
-                dt.datetime.utcnow(),
+                now,
             )
+            for bucket, status, rows_in, rows_out, metrics in entries
         ]
-        self.spark.createDataFrame(row, schema=LEDGER_SCHEMA).write.mode("append").parquet(
+        self.spark.createDataFrame(rows, schema=LEDGER_SCHEMA).write.mode("append").parquet(
             self.path
         )
 
@@ -115,44 +129,56 @@ def run_with_checkpoints(
     n_buckets: int = 8,
     fail_after: int | None = None,
 ) -> int:
-    """Execute ``transform`` bucket-by-bucket with resume.
+    """Execute ``transform`` over all pending buckets with resume.
 
-    Buckets are processed independently; output partitions are written with
-    dynamic partition overwrite so a retried bucket is idempotent. Returns
-    the number of buckets computed in this invocation (0 on a fully-resumed
-    run). ``fail_after`` kills the run after N buckets (for resume tests —
-    the mid-run-kill scenario from SURVEY.md §5.3 item 4).
+    SINGLE-PASS resume: every pending bucket is computed in ONE Spark job —
+    one input scan filtered to ``_bucket IN pending`` (bucket/partition
+    pruning when the input is bucket-partitioned at rest), one dynamic-
+    partition-overwrite write (idempotent on retry), one read-back of just
+    the written partitions for per-bucket row counts (columnar count, no
+    recompute), one batched ledger append. The previous shape — one job per
+    bucket — re-scanned the full input n_buckets times (O(n_buckets × scan)
+    at 100 TB) and re-read the whole output per bucket.
 
-    Scale note: one Spark job per bucket is deliberate — each job is a
-    narrow scan (bucket pruning by hash predicate pushes to the parquet/
-    Iceberg scan when the table is bucket-partitioned) and the ledger write
-    is tiny; at 1000 executors, buckets are sized so each job still fills
-    the cluster (n_buckets ≈ total_size / (executors × task_target)).
+    Contract: ``transform`` must be entity-local (rows of different
+    ``conv_col`` values never interact — true of every per-conversation
+    plan in this engine) and its output must carry ``conv_col`` so the
+    bucket id can be re-derived for partitioning. Returns the number of
+    buckets computed in this invocation (0 on a fully-resumed run).
+    ``fail_after`` commits only the first N pending buckets then raises
+    (the mid-run-kill scenario from SURVEY.md §5.3 item 4).
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     ledger = CheckpointLedger(spark, ledger_path)
     done = ledger.done_buckets(run_id, lineage)
-    computed = 0
-    with_bucket = inputs.withColumn("_bucket", bucket_of(conv_col, n_buckets))
-    for b in range(n_buckets):
-        if b in done:
-            continue
-        if fail_after is not None and computed >= fail_after:
-            raise RuntimeError(f"simulated failure after {computed} buckets")
+    pending = [b for b in range(n_buckets) if b not in done]
+    batch = pending[:fail_after] if fail_after is not None else pending
+    if batch:
         t0 = time.perf_counter()
-        part = with_bucket.where(F.col("_bucket") == b).drop("_bucket")
-        out = transform(part).withColumn("_bucket", F.lit(b))
+        part = inputs.where(
+            bucket_of(conv_col, n_buckets).isin([int(b) for b in batch])
+        )
+        out = transform(part).withColumn("_bucket", bucket_of(conv_col, n_buckets))
         out.write.mode("overwrite").partitionBy("_bucket").option(
             "partitionOverwriteMode", "dynamic"
         ).parquet(output_path)
-        n_out = spark.read.parquet(output_path).where(F.col("_bucket") == b).count()
-        ledger.mark(
+        counts = {
+            int(r["_bucket"]): int(r["n"])
+            for r in spark.read.parquet(output_path)
+            .where(F.col("_bucket").isin([int(b) for b in batch]))
+            .groupBy("_bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        wall = round(time.perf_counter() - t0, 3)
+        ledger.mark_many(
             run_id,
-            b,
-            "done",
+            [
+                (b, "done", None, counts.get(b, 0), {"wall_s": wall, "batch": len(batch)})
+                for b in batch
+            ],
             lineage,
-            rows_out=n_out,
-            metrics={"wall_s": round(time.perf_counter() - t0, 3)},
         )
-        computed += 1
-    return computed
+    if fail_after is not None and len(pending) > len(batch):
+        raise RuntimeError(f"simulated failure after {len(batch)} buckets")
+    return len(batch)

@@ -30,22 +30,29 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 BUCKET_COL = "_bkt"
 
 
+DEFAULT_HEAVY_HITTERS = 100_000
+
+
 def balanced_assignment(
     df: DataFrame,
     n_buckets: int,
     conv_col: str = "conv_id",
-    heavy_hitters: int | None = None,
+    heavy_hitters: int | None = DEFAULT_HEAVY_HITTERS,
 ) -> DataFrame:
     """conv_id → bucket mapping (small DataFrame, broadcast-joinable).
 
     Greedy bin-pack: sort conversations by size descending, always drop the
     next conversation into the currently-lightest bucket. ``heavy_hitters``
     limits the exact packing to the K largest conversations (the rest are
-    hashed) for driver-memory safety at extreme scale.
+    hashed by conv_id) — the DEFAULT, because collecting the full conv-size
+    histogram is an unbounded driver collect (OOM at 10^12 turns), while
+    the top-100k covers the Zipf head that actually causes skew and the
+    hashed long tail is balanced by the law of large numbers. Pass ``None``
+    only for exact packing of small corpora.
     """
     sizes = df.groupBy(conv_col).count()
     if heavy_hitters is not None:
-        top = sizes.orderBy(F.desc("count")).limit(heavy_hitters).collect()
+        top = sizes.orderBy(F.desc("count"), conv_col).limit(heavy_hitters).collect()
         top_ids = {r[conv_col] for r in top}
         rows = [(r[conv_col], int(r["count"])) for r in top]
     else:
@@ -77,7 +84,7 @@ def with_balanced_bucket(
     df: DataFrame,
     n_buckets: int,
     conv_col: str = "conv_id",
-    heavy_hitters: int | None = None,
+    heavy_hitters: int | None = DEFAULT_HEAVY_HITTERS,
 ) -> DataFrame:
     mapping = balanced_assignment(df, n_buckets, conv_col, heavy_hitters)
     return df.join(F.broadcast(mapping), conv_col, "inner")
@@ -92,7 +99,7 @@ def write_bucketed(
     ts_col: str = "ts",
     idx_col: str = "turn_idx",
     balanced: bool = True,
-    heavy_hitters: int | None = None,
+    heavy_hitters: int | None = DEFAULT_HEAVY_HITTERS,
 ) -> None:
     """Write a bucketed, sort-ordered transcript table (the engine's
     canonical at-rest layout). ``balanced=True`` adds the bin-packed
