@@ -715,6 +715,39 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(media, every_s=2.0).select("media_id", "frame_idx", "frame_ts_s")
 
 
+def q_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11/W8 analog: Needleman-Wunsch alignment of each conversation
+    against an edited version (grouped-map DP kernel,
+    /root/reference/pyPPI/alignment/NWAlignment.py:5-78 + resReduce.py:29-52
+    traceback). The edited version deterministically drops every event whose
+    md5-bucket ≡ 0 (mod 5), making it a SUBSEQUENCE — for which every
+    optimal alignment provably consists of exactly (kept → match,
+    dropped → del), so per-conversation op counts and the DP total score
+    have a closed form the SQL oracle checks value-for-value."""
+    from pyppi_spark.operators.align import align_conversations
+
+    t = _events_as_transcripts(_events(spark, sf_dir))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("turn_idx").cast("string")), 1, 8), 16, 10).cast("long") % 5
+    )
+    right = t.where(bucket != 0)
+    out = align_conversations(t, right)
+    return (
+        out.groupBy("conv_id")
+        .agg(
+            F.sum(F.when(F.col("op") == "match", 1).otherwise(0)).alias("n_match"),
+            F.sum(F.when(F.col("op") == "del", 1).otherwise(0)).alias("n_del"),
+            F.sum(F.when(F.col("op") == "ins", 1).otherwise(0)).alias("n_ins"),
+            F.sum(F.when(F.col("op") == "sub", 1).otherwise(0)).alias("n_sub"),
+            F.max("total_score").alias("score"),
+        )
+        .select(
+            F.col("conv_id").cast("long").alias("user_id"),
+            "n_match", "n_del", "n_ins", "n_sub", "score",
+        )
+    )
+
+
 def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe two-phase salted aggregation; semantics = plain GROUP BY
     (the salt is physical only), so the oracle is the plain SQL."""
@@ -791,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "embed_threshold_join": q_embed_threshold_join,
         "salted_agg": q_salted_agg,
+        "align": q_align,
         "ann_ivf": q_ann_ivf,
         "ngram_near_dedup": q_ngram_near_dedup,
         "media_features": q_media_features,
@@ -1284,6 +1318,21 @@ FROM (
   FROM read_parquet('{MEDIA_FIXTURE}')
   WHERE kind = 'video'
 )
+""",
+        "align": """
+WITH d AS (
+  SELECT user_id,
+         CASE WHEN ('0x'||substr(md5(event_id::VARCHAR),1,8))::BIGINT % 5 = 0
+              THEN 1 ELSE 0 END AS dropped
+  FROM events
+)
+SELECT user_id,
+       sum(1 - dropped)::BIGINT AS n_match,
+       sum(dropped)::BIGINT AS n_del,
+       0::BIGINT AS n_ins,
+       0::BIGINT AS n_sub,
+       2.0 * sum(1 - dropped) - sum(dropped) AS score
+FROM d GROUP BY user_id
 """,
         "minhash_lsh": _minhash_lsh_sql(num_hashes=64, seed=42, bands=16, rows_per_band=4),
         "simhash": _simhash_sql(),

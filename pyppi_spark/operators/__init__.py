@@ -11,6 +11,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     near_dedup_representatives,
 )
+from .align import align_conversations
 from .similarity import brute_force_topk, lsh_topk, ivf_topk, embedding_neardup_pairs, threshold_pairs_exact
 from .salted_agg import salted_agg
 from .window_extras import (
@@ -41,6 +42,7 @@ __all__ = [
     "ivf_topk",
     "embedding_neardup_pairs",
     "threshold_pairs_exact",
+    "align_conversations",
     "salted_agg",
     "with_table_driven_offsets",
     "bounded_lookahead",

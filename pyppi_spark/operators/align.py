@@ -1,0 +1,176 @@
+"""Conversation alignment — the working analog of the reference's
+Needleman-Wunsch kernel (J11/W8: ``/root/reference/pyPPI/alignment/
+NWAlignment.py:5-78`` builds the DP matrix, ``resReduce.py:29-52`` walks the
+ordered traceback). The reference path is dead code (SURVEY §5.2 proves it
+crashes); here the same DP aligns two VERSIONS of a conversation (original
+vs edited transcript) — a real transcript-pipeline operation (diffing a
+redacted/retouched export against its source).
+
+Physical shape: cogrouped ``applyInPandas`` — one conversation pair per
+group, Arrow-batched in, the DP runs in numpy with each row vectorized
+(the horizontal gap recurrence ``H[i,j] = max(c_j, H[i,j-1]-gap)`` is a
+prefix-max after the ``g_j = H[i,j]+j·gap`` transform), aligned rows out.
+This is the designated slow-path escape hatch (SURVEY §2.9 UDF-1): a DP
+with sequential data dependence cannot be expressed in relational
+operators.
+
+Scoring (deterministic, pinned): +match for equal normalized text,
++sub_role for different text with equal role, +mismatch otherwise; ±gap
+per insertion/deletion. Traceback tie priority: diagonal > up (delete) >
+left (insert) — so outputs are identical across runs and partitionings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+import pyspark.sql.types as T
+
+ALIGN_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("left_idx", T.LongType(), True),
+        T.StructField("right_idx", T.LongType(), True),
+        T.StructField("op", T.StringType(), False),  # match | sub | del | ins
+        T.StructField("pair_score", T.DoubleType(), False),
+        T.StructField("total_score", T.DoubleType(), False),
+    ]
+)
+
+
+def _nw_align(
+    l_text: list[str],
+    r_text: list[str],
+    l_role: list[str],
+    r_role: list[str],
+    match: float,
+    sub_role: float,
+    mismatch: float,
+    gap: float,
+) -> tuple[list[tuple[int | None, int | None, str, float]], float]:
+    """Needleman-Wunsch over two turn sequences; returns (ops, total).
+    Each op is (left_pos, right_pos, kind, pair_score) with 0-based
+    positions into the sorted sequences."""
+    n, m = len(l_text), len(r_text)
+    # substitution matrix rows built per i (vectorized over j)
+    r_text_arr = np.array(r_text, dtype=object)
+    r_role_arr = np.array(r_role, dtype=object)
+    H = np.empty((n + 1, m + 1), dtype=np.float64)
+    H[0, :] = np.arange(m + 1) * gap
+    H[:, 0] = np.arange(n + 1) * gap
+    jidx = np.arange(1, m + 1, dtype=np.float64)
+    for i in range(1, n + 1):
+        s = np.where(
+            r_text_arr == l_text[i - 1],
+            match,
+            np.where(r_role_arr == l_role[i - 1], sub_role, mismatch),
+        ).astype(np.float64)
+        c = np.maximum(H[i - 1, :-1] + s, H[i - 1, 1:] + gap)  # diag, up
+        # horizontal recurrence H[i,j] = max(c_j, H[i,j-1]+gap) as a
+        # prefix-max: g_j = H[i,j] - j*gap is the running max of c_j - j*gap
+        # seeded by H[i,0]
+        g = np.maximum.accumulate(
+            np.concatenate(([H[i, 0]], c - jidx * gap))
+        )
+        H[i, 1:] = g[1:] + jidx * gap
+    total = float(H[n, m])
+
+    ops: list[tuple[int | None, int | None, str, float]] = []
+    i, j = n, m
+    while i > 0 or j > 0:
+        if i > 0 and j > 0:
+            s = (
+                match
+                if l_text[i - 1] == r_text[j - 1]
+                else (sub_role if l_role[i - 1] == r_role[j - 1] else mismatch)
+            )
+            if H[i, j] == H[i - 1, j - 1] + s:  # diagonal first (priority)
+                kind = "match" if l_text[i - 1] == r_text[j - 1] else "sub"
+                ops.append((i - 1, j - 1, kind, float(s)))
+                i, j = i - 1, j - 1
+                continue
+        if i > 0 and H[i, j] == H[i - 1, j] + gap:  # up = delete from left
+            ops.append((i - 1, None, "del", float(gap)))
+            i -= 1
+            continue
+        ops.append((None, j - 1, "ins", float(gap)))
+        j -= 1
+    ops.reverse()
+    return ops, total
+
+
+def align_conversations(
+    left: DataFrame,
+    right: DataFrame,
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+    role_col: str = "role",
+    match: float = 2.0,
+    sub_role: float = 0.0,
+    mismatch: float = -1.0,
+    gap: float = -1.0,
+) -> DataFrame:
+    """Align two versions of every conversation; one output row per aligned
+    position carrying the matched turn indexes, the op, its score, and the
+    conversation's total alignment score.
+
+    Scale notes: one shuffle per side on the entity key (cogroup); a
+    conversation pair is a single Arrow group — the documented straggler
+    risk is a pathologically long single conversation (DP is O(n·m) in it),
+    the same whole-entity-locality trade the merge as-of strategy makes.
+    """
+    cols = [conv_col, ts_col, idx_col, text_col, role_col]
+    # the right side gets FRESH attribute ids (alias → new ExprId): when
+    # both sides derive from the same plan (align a conversation against a
+    # filtered version of itself), shared attributes make the analyzer
+    # collapse the right side's columns to the grouping key
+    r_cols = {c: f"_r_{c}" for c in cols}
+
+    def kernel(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if len(r):
+            r = r.rename(columns={v: k for k, v in r_cols.items()})
+        # an absent group arrives as an empty frame (possibly column-less)
+        l = l.sort_values([ts_col, idx_col], kind="mergesort") if len(l) else None
+        r = r.sort_values([ts_col, idx_col], kind="mergesort") if len(r) else None
+        cid = (l if l is not None else r)[conv_col].iloc[0]
+        ops, total = _nw_align(
+            l[text_col].tolist() if l is not None else [],
+            r[text_col].tolist() if r is not None else [],
+            l[role_col].tolist() if l is not None else [],
+            r[role_col].tolist() if r is not None else [],
+            match,
+            sub_role,
+            mismatch,
+            gap,
+        )
+        l_idx = l[idx_col].to_numpy() if l is not None else np.array([], dtype=np.int64)
+        r_idx = r[idx_col].to_numpy() if r is not None else np.array([], dtype=np.int64)
+        return pd.DataFrame(
+            [
+                {
+                    "conv_id": cid,
+                    "left_idx": int(l_idx[a]) if a is not None else None,
+                    "right_idx": int(r_idx[b]) if b is not None else None,
+                    "op": kind,
+                    "pair_score": ps,
+                    "total_score": total,
+                }
+                for a, b, kind, ps in ops
+            ],
+            columns=[f.name for f in ALIGN_SCHEMA.fields],
+        )
+
+    return (
+        left.select(*cols)
+        .groupBy(conv_col)
+        .cogroup(
+            right.select(*[F.col(c).alias(r_cols[c]) for c in cols]).groupBy(
+                r_cols[conv_col]
+            )
+        )
+        .applyInPandas(kernel, schema=ALIGN_SCHEMA)
+    )

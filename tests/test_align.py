@@ -1,0 +1,101 @@
+"""Alignment kernel vs an independent quadratic Needleman-Wunsch reference
+(J11/W8 analog — SURVEY §2.3/§2.5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from pyppi_spark.operators.align import align_conversations, _nw_align
+
+
+def t(s: float):
+    return dt.datetime(2025, 1, 1) + dt.timedelta(seconds=s)
+
+
+def naive_nw(lt, rt, lr, rr, match=2.0, sub_role=0.0, mismatch=-1.0, gap=-1.0):
+    """Plain-loop DP — independent of the vectorized prefix-max kernel."""
+    n, m = len(lt), len(rt)
+    H = [[0.0] * (m + 1) for _ in range(n + 1)]
+    for i in range(n + 1):
+        H[i][0] = i * gap
+    for j in range(m + 1):
+        H[0][j] = j * gap
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            s = match if lt[i - 1] == rt[j - 1] else (sub_role if lr[i - 1] == rr[j - 1] else mismatch)
+            H[i][j] = max(H[i - 1][j - 1] + s, H[i - 1][j] + gap, H[i][j - 1] + gap)
+    return H[n][m]
+
+
+@pytest.mark.parametrize(
+    "lt,rt",
+    [
+        (["a b", "c d", "e f", "g h"], ["a b", "c X", "g h"]),       # sub + del
+        (["a", "b", "c"], ["z", "a", "b", "c"]),                      # ins at front
+        (["a", "a", "b"], ["a", "b"]),                                # dup ambiguity
+        ([], ["a", "b"]),                                             # empty left
+        (["a", "b"], []),                                             # empty right
+        (["x"] * 7, ["x"] * 3),                                       # heavy dups
+    ],
+)
+def test_kernel_total_matches_naive(lt, rt):
+    lr = ["user"] * len(lt)
+    rr = ["user"] * len(rt)
+    ops, total = _nw_align(lt, rt, lr, rr, 2.0, 0.0, -1.0, -1.0)
+    assert total == naive_nw(lt, rt, lr, rr)
+    assert sum(p for _, _, _, p in ops) == total
+    # every left and right position consumed exactly once, in order
+    ls = [a for a, _, _, _ in ops if a is not None]
+    rs = [b for _, b, _, _ in ops if b is not None]
+    assert ls == list(range(len(lt))) and rs == list(range(len(rt)))
+
+
+def test_align_conversations_end_to_end(spark):
+    cols = ["conv_id", "turn_idx", "role", "text", "ts"]
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                ("c1", 0, "user", "hello there", t(0)),
+                ("c1", 1, "assistant", "hi", t(1)),
+                ("c1", 2, "user", "bye", t(2)),
+                ("c2", 0, "user", "solo", t(0)),
+            ],
+            columns=cols,
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                ("c1", 10, "user", "hello there", t(0)),     # match
+                ("c1", 11, "assistant", "hi EDITED", t(1)),  # sub (same role)
+                ("c1", 12, "user", "bye", t(2)),             # match
+                ("c1", 13, "tool", "injected", t(3)),        # ins (right-only)
+            ],
+            columns=cols,
+        )
+    )
+    out = align_conversations(left, right).toPandas()
+    c1 = out[out.conv_id == "c1"].sort_values(["left_idx", "right_idx"], na_position="last")
+    by_op = c1.groupby("op").size().to_dict()
+    assert by_op == {"match": 2, "sub": 1, "ins": 1}
+    assert c1.total_score.iloc[0] == 2.0 + 0.0 + 2.0 - 1.0
+    assert c1[c1.op == "ins"].right_idx.iloc[0] == 13
+    # conversation only on the left side: all deletions
+    c2 = out[out.conv_id == "c2"]
+    assert set(c2.op) == {"del"} and len(c2) == 1
+
+
+def test_subsequence_right_gives_only_matches_and_dels(spark):
+    cols = ["conv_id", "turn_idx", "role", "text", "ts"]
+    rows = [("c", i, "user", f"turn {i}", t(i)) for i in range(20)]
+    left = spark.createDataFrame(pd.DataFrame(rows, columns=cols))
+    right = spark.createDataFrame(
+        pd.DataFrame([r for r in rows if r[1] % 5 != 0], columns=cols)
+    )
+    out = align_conversations(left, right).toPandas()
+    assert (out[out.op == "match"].left_idx % 5 != 0).all()
+    assert sorted(out[out.op == "del"].left_idx) == [0, 5, 10, 15]
+    assert out.total_score.iloc[0] == 2.0 * 16 - 4
