@@ -37,8 +37,8 @@ from pyppi_spark.functions.vectors import dot, l2_norm
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 SESSION_GAP_S = 1800.0
-# testdata embeddings are 64-wide at every SF; a known dim lets the vector
-# kernels unroll into flat codegen expressions (HOF fold is interpreted)
+# testdata embeddings are 64-wide at every SF (sizes the BLAS prune
+# matrices; the JVM fold kernels don't need it)
 EMBED_DIM = 64
 
 
@@ -483,9 +483,9 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k ANN baseline over embeddings: top 10
     neighbors for query vectors vec_id < 5 (broadcast query side)."""
-    # norms once per row before the join; per-pair work = one unrolled
-    # 64-term codegen dot (HOF fold is interpreted; full unrolled cosine
-    # per pair busts the 64 KB codegen method limit)
+    # norms once per row before the join; per-pair work = one fold dot
+    # (a full per-pair cosine does 3x the element work; see
+    # functions/vectors.py for why the fold beats unrolled codegen)
     emb = _embeddings(spark, sf_dir).select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("e"),

@@ -4,7 +4,9 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 Each query is forced end-to-end with a ``noop``-format write (full
 computation, no driver collect). The flagship metric is feature-extraction
 throughput in turns/sec over the events stream mapped to the transcript
-schema (the BASELINE.json north metric, sandbox scale).
+schema (the BASELINE.json north metric, sandbox scale). Per-query shuffle
+write volume is sampled from the UI REST API (deltas of completed stages)
+so plan regressions that add exchanges are visible next to wall time.
 """
 
 from __future__ import annotations
@@ -13,6 +15,7 @@ import json
 import os
 import sys
 import time
+import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -31,6 +34,7 @@ HEADLINE = [
     "lag_lead",
     "backfill",
     "asof_join",
+    "asof_nearest",
     "user_features",
     "range_join",
     "spread_agg",
@@ -39,7 +43,10 @@ HEADLINE = [
     "dedup_exact",
     "text_stats",
     "similarity_topk",
+    "embed_threshold_join",
     "minhash_lsh",
+    "ngram_near_dedup",
+    "align",
     "equi_join",
     "window_norm",
     "set_ops",
@@ -52,8 +59,27 @@ def force(df: DataFrame) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def shuffle_written_bytes(spark) -> int | None:
+    """Total shuffle write bytes across completed stages (UI REST)."""
+    try:
+        url = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{url}/api/v1/applications/{app}/stages?status=COMPLETE", timeout=5
+        ) as r:
+            stages = json.loads(r.read())
+        return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    except Exception:
+        return None
+
+
 def main() -> None:
-    spark = build_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    spark = build_spark(
+        "bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+        extra_conf={"spark.ui.enabled": "true"},  # REST shuffle metrics
+    )
     qs = entrymod.queries()
 
     # untimed warm-up: parquet footer reads + first-stage codegen/JIT are
@@ -64,18 +90,41 @@ def main() -> None:
     force(qs["sessionize"](spark, SF_DIR))
 
     timings: dict[str, float] = {}
+    shuffle_mb: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
+        s0 = shuffle_written_bytes(spark)
         t0 = time.perf_counter()
         force(qs[name](spark, SF_DIR))
         dt = time.perf_counter() - t0
+        s1 = shuffle_written_bytes(spark)
         timings[name] = round(dt, 3)
+        if s0 is not None and s1 is not None:
+            shuffle_mb[name] = round((s1 - s0) / 1e6, 2)
         total += dt
+
+    # production-mode MinHash+LSH (xxhash64): the driver query uses the
+    # portable md5-prefix mode for its oracle; the fast path is what a
+    # 100 TB dedup run uses, so it is timed separately
+    from pyppi_spark.operators import minhash_lsh_candidates, minhash_signatures
+
+    docs = entrymod._documents(spark, SF_DIR)
+    t0 = time.perf_counter()
+    force(
+        minhash_lsh_candidates(
+            minhash_signatures(docs, num_hashes=64, shingle_n=3, seed=42, hash_mode="fast"),
+            bands=16,
+            rows_per_band=4,
+        )
+    )
+    timings["minhash_lsh_fast"] = round(time.perf_counter() - t0, 3)
+    total += timings["minhash_lsh_fast"]
 
     # flagship: full per-turn + per-conversation feature extraction
     ev = entrymod._events(spark, SF_DIR)
     n_turns = ev.count()
     t = entrymod._events_as_transcripts(ev)
+    s0 = shuffle_written_bytes(spark)
     t0 = time.perf_counter()
     # pipeline shape: materialize (cache) the per-turn table once, derive
     # the per-conversation vectors from it — windows computed exactly once
@@ -83,8 +132,11 @@ def main() -> None:
     force(tf)
     force(conv_features_from_turns(tf))
     feat_dt = time.perf_counter() - t0
+    s1 = shuffle_written_bytes(spark)
     tf.unpersist()
     timings["feature_extraction"] = round(feat_dt, 3)
+    if s0 is not None and s1 is not None:
+        shuffle_mb["feature_extraction"] = round((s1 - s0) / 1e6, 2)
     total += feat_dt
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -95,6 +147,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "shuffle_write_mb": shuffle_mb,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "turns": n_turns,
                 "turns_per_sec_feature_extraction": round(n_turns / feat_dt, 1),

