@@ -1,3 +1,11 @@
-from .sessions import streaming_session_aggregates, streaming_turn_counts
+from .sessions import (
+    streaming_running_state,
+    streaming_session_aggregates,
+    streaming_turn_counts,
+)
 
-__all__ = ["streaming_session_aggregates", "streaming_turn_counts"]
+__all__ = [
+    "streaming_running_state",
+    "streaming_session_aggregates",
+    "streaming_turn_counts",
+]

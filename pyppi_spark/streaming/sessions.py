@@ -45,6 +45,80 @@ def streaming_session_aggregates(
     )
 
 
+RUNNING_STATE_OUTPUT = (
+    "conv_id string, n_turns long, gap_mean_s double, gap_max_s double, "
+    "last_role string, last_ts_us long"
+)
+RUNNING_STATE_STATE = "n_turns long, last_ts_us long, gap_sum_us long, gap_max_us long, last_role string"
+
+
+def streaming_running_state(
+    stream: DataFrame,
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+    role_col: str = "role",
+) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per-conversation
+    RUNNING feature state — turn count, exact int64-µs gap accumulation
+    (same currency as the batch ``plans/pit.cumulative_state``), last role —
+    emitting one snapshot row per conversation per micro-batch.
+
+    This is the streaming form of the PIT cumulative state: state is a flat
+    tuple (algebraic — merging batches is exact), rows within a micro-batch
+    are sorted by event time before folding, and cross-batch ordering is
+    arrival order (the standard structured-streaming contract for custom
+    state; a production deployment feeds this from a log already partitioned
+    and ordered per conversation, e.g. Kafka keyed by conv_id).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fold(key, pdfs, state: GroupState):
+        n_turns, last_ts_us, gap_sum_us, gap_max_us, last_role = (
+            state.get if state.exists else (0, None, 0, 0, None)
+        )
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values([ts_col], kind="mergesort")
+            ts_us = (pdf[ts_col].astype("int64") // 1000).tolist()
+            roles = pdf[role_col].tolist()
+            for t, r in zip(ts_us, roles):
+                if last_ts_us is not None:
+                    gap = t - last_ts_us
+                    gap_sum_us += gap
+                    gap_max_us = max(gap_max_us, gap)
+                last_ts_us = t
+                last_role = r
+                n_turns += 1
+        state.update((n_turns, last_ts_us, gap_sum_us, gap_max_us, last_role))
+        n_gaps = n_turns - 1
+        yield pd.DataFrame(
+            [
+                {
+                    "conv_id": key[0],
+                    "n_turns": n_turns,
+                    "gap_mean_s": (gap_sum_us / 1e6 / n_gaps) if n_gaps > 0 else None,
+                    "gap_max_s": (gap_max_us / 1e6) if n_gaps > 0 else None,
+                    "last_role": last_role,
+                    "last_ts_us": last_ts_us,
+                }
+            ]
+        )
+
+    return (
+        stream.select(conv_col, ts_col, role_col)
+        .groupBy(conv_col)
+        .applyInPandasWithState(
+            fold,
+            outputStructType=RUNNING_STATE_OUTPUT,
+            stateStructType=RUNNING_STATE_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def streaming_turn_counts(
     stream: DataFrame,
     watermark: str = "2 hours",

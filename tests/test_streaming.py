@@ -42,3 +42,59 @@ def test_streaming_sessions_match_batch(spark, tiny_pdf, tmp_path):
     assert got["conv_id"].tolist() == want["conv_id"].tolist()
     assert got["n_sessions"].tolist() == want["n_sessions"].tolist()
     assert got["n_turns"].tolist() == want["n_turns"].tolist()
+
+
+def test_streaming_running_state_matches_batch_final(spark, tiny_pdf, tmp_path):
+    """applyInPandasWithState custom stateful operator: the final snapshot
+    per conversation equals the batch cumulative state at the last turn
+    (exact int64-µs gap accumulation in both paths)."""
+    from pyppi_spark.streaming.sessions import streaming_running_state
+
+    src = str(tmp_path / "src_state")
+    spark.createDataFrame(tiny_pdf, schema=TRANSCRIPTS).write.parquet(src)
+
+    stream = spark.readStream.schema(TRANSCRIPTS).parquet(src)
+    out = streaming_running_state(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # last emitted snapshot per conv (one batch here → exactly one row each)
+    got = (
+        spark.table("running_state")
+        .orderBy("conv_id")
+        .toPandas()
+        .groupby("conv_id")
+        .last()
+        .reset_index()
+    )
+
+    pdf = tiny_pdf.sort_values(["conv_id", "ts", "turn_idx"], kind="mergesort")
+    rows = []
+    for cid, g in pdf.groupby("conv_id"):
+        ts_us = (g["ts"].astype("int64") // 1000).tolist()
+        gaps = [b - a for a, b in zip(ts_us, ts_us[1:])]
+        rows.append(
+            {
+                "conv_id": cid,
+                "n_turns": len(g),
+                "gap_mean_s": (sum(gaps) / 1e6 / len(gaps)) if gaps else None,
+                "gap_max_s": (max(gaps) / 1e6) if gaps else None,
+                "last_ts_us": ts_us[-1],
+            }
+        )
+    import pandas as pd
+
+    want = pd.DataFrame(rows).sort_values("conv_id").reset_index(drop=True)
+    assert got["conv_id"].tolist() == want["conv_id"].tolist()
+    assert got["n_turns"].tolist() == want["n_turns"].tolist()
+    assert got["last_ts_us"].tolist() == want["last_ts_us"].tolist()
+    for c in ["gap_mean_s", "gap_max_s"]:
+        g = got[c].fillna(-1).tolist()
+        w = want[c].fillna(-1).tolist()
+        assert g == w, c  # exact: int64-µs accumulation both sides
