@@ -95,20 +95,64 @@ def _bucket_expr(vec, planes: np.ndarray):
 
 
 def _banded(
-    df: DataFrame, ident: str, id_col: str, vec_col: str, planes: np.ndarray, dim: int
+    df: DataFrame,
+    ident: str,
+    id_col: str,
+    vec_col: str,
+    planes: np.ndarray,
+    dim: int,
+    bucket_strategy: str = "blas",
 ) -> DataFrame:
     """One row per (vector, LSH table): ident, vector, its norm, (_tbl, _bkt).
-    Bucket ids are projected as individual columns first (one ~n_bits×dim
-    multiply-add expression each — splittable into separate codegen methods),
-    then zipped and exploded."""
-    n_tables = planes.shape[0]
+
+    ``blas`` (default): sign bits via one dense matmul per Arrow batch in
+    ``mapInPandas`` — V @ P.T then bit-pack, ~100× the per-row JVM
+    expression throughput (the vector crosses Arrow once and rides along).
+    ``jvm``: pure-JVM fold dots — no Python workers, for deployments that
+    forbid them. Either way the table fan-out (posexplode) happens JVM-side
+    so the Arrow transfer is one row per vector, not per (vector, table).
+    """
+    import pandas as pd
+
+    n_tables, n_bits = planes.shape[0], planes.shape[1]
     v = _as_double(vec_col)
-    staged = df.select(
-        F.col(id_col).alias(ident),
-        v.alias(f"_v_{ident}"),
-        l2_norm(v, dim).alias(f"_n_{ident}"),
-        *[_bucket_expr(v, planes[t]).alias(f"_b{t}") for t in range(n_tables)],
-    )
+    if bucket_strategy == "jvm":
+        staged = df.select(
+            F.col(id_col).alias(ident),
+            v.alias(f"_v_{ident}"),
+            l2_norm(v, dim).alias(f"_n_{ident}"),
+            *[_bucket_expr(v, planes[t]).alias(f"_b{t}") for t in range(n_tables)],
+        )
+    elif bucket_strategy == "blas":
+        P = planes.reshape(-1, planes.shape[-1]).T  # (D, T*B)
+        weights = (1 << np.arange(n_bits)).astype(np.int64)
+        id_type = df.select(F.col(id_col)).schema[0].dataType.simpleString()
+        schema = (
+            f"{ident} {id_type}, _v_{ident} array<double>, _n_{ident} double, "
+            + ", ".join(f"_b{t} long" for t in range(n_tables))
+        )
+
+        def kernel(batches):
+            for b in batches:
+                if not len(b):
+                    continue
+                V = np.stack(b["_v"].to_numpy())
+                bits = (V @ P) > 0
+                buckets = bits.reshape(len(b), n_tables, n_bits) @ weights
+                out = {
+                    ident: b["_id"].to_numpy(),
+                    f"_v_{ident}": b["_v"].to_numpy(),
+                    f"_n_{ident}": np.linalg.norm(V, axis=1),
+                }
+                for t in range(n_tables):
+                    out[f"_b{t}"] = buckets[:, t]
+                yield pd.DataFrame(out)
+
+        staged = df.select(F.col(id_col).alias("_id"), v.alias("_v")).mapInPandas(
+            kernel, schema=schema
+        )
+    else:
+        raise ValueError(f"unknown bucket_strategy {bucket_strategy!r}")
     return staged.select(
         ident,
         f"_v_{ident}",
@@ -128,6 +172,7 @@ def lsh_topk(
     n_bits: int = 8,
     seed: int = 42,
     dim: int = 64,
+    bucket_strategy: str = "blas",
 ) -> DataFrame:
     """Approximate top-k: exact cosine within random-hyperplane buckets.
 
@@ -137,8 +182,8 @@ def lsh_topk(
     """
     planes = _random_planes(dim, n_tables, n_bits, seed)
 
-    qb = _banded(queries, query_id_col, id_col, vec_col, planes, dim)
-    cb = _banded(candidates, "neighbor_id", id_col, vec_col, planes, dim)
+    qb = _banded(queries, query_id_col, id_col, vec_col, planes, dim, bucket_strategy)
+    cb = _banded(candidates, "neighbor_id", id_col, vec_col, planes, dim, bucket_strategy)
     cand_pairs = (
         qb.join(cb, ["_tbl", "_bkt"], "inner")
         .where(F.col("neighbor_id") != F.col(query_id_col))
@@ -349,11 +394,12 @@ def embedding_neardup_pairs(
     n_bits: int = 8,
     seed: int = 42,
     dim: int = 64,
+    bucket_strategy: str = "blas",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b) above ``threshold``:
     LSH-bucketed candidate generation + exact cosine verification."""
     planes = _random_planes(dim, n_tables, n_bits, seed)
-    banded = _banded(df, "x", id_col, vec_col, planes, dim)
+    banded = _banded(df, "x", id_col, vec_col, planes, dim, bucket_strategy)
     a = banded.select(
         F.col("x").alias("a"), F.col("_v_x").alias("_va"), F.col("_n_x").alias("_na"),
         "_tbl", "_bkt",
