@@ -223,18 +223,22 @@ def train_centroids(
     quantizer). At 100 TB the sample is still bounded — this is a
     deliberately driver-cheap trainer, not MLlib.
 
-    The sample is a *deterministic pseudo-random* subset: order by a seeded
-    hash of the id and take the first ``sample_rows`` (TakeOrdered — each
-    partition contributes its local top-N, the driver merges). Unlike
+    The sample is a *deterministic pseudo-random* subset: rows whose seeded
+    id-hash falls in the smallest buckets, sized from a cheap count()
+    (parquet metadata), then ordered by that hash and truncated. Unlike
     ``limit()`` (first-partitions-only → biased, layout-dependent), this is
-    unbiased w.r.t. physical layout and identical across parallelism levels.
+    unbiased w.r.t. physical layout and identical across parallelism
+    levels; the hash pre-filter keeps the TakeOrdered network cost at
+    O(sample) instead of O(partitions × sample).
     """
+    side = candidates.select(_as_double(vec_col).alias("v"), F.col(id_col).alias("_id"))
+    n = side.count()
+    h = F.pmod(F.xxhash64(F.col("_id"), F.lit(seed)), F.lit(1_000_000))
+    if n > 4 * sample_rows:
+        # keep ~4× the target then truncate deterministically by the hash
+        side = side.where(h < int(4 * sample_rows / n * 1_000_000) + 1)
     sample = np.array(
-        candidates.select(_as_double(vec_col).alias("v"), F.col(id_col).alias("_id"))
-        .orderBy(F.xxhash64(F.col("_id"), F.lit(seed)))
-        .limit(sample_rows)
-        .toPandas()["v"]
-        .tolist()
+        side.orderBy(h, "_id").limit(sample_rows).toPandas()["v"].tolist()
     )
     rng = np.random.default_rng(seed)
     cent = sample[rng.choice(len(sample), n_centroids, replace=False)]
