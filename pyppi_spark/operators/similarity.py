@@ -354,6 +354,10 @@ def threshold_pairs_exact(
 
     side = df.select(F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v"))
     pdf = side.toPandas()  # the broadcast matrix side (bounded by contract)
+    if not len(pdf):
+        return df.sparkSession.createDataFrame(
+            [], f"a {df.schema[id_col].dataType.simpleString()}, b {df.schema[id_col].dataType.simpleString()}, cos_sim double"
+        )
     ids = pdf["_id"].to_numpy()
     M = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
     Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
