@@ -664,14 +664,22 @@ def q_embed_threshold_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat approximate top-k (rows-only check: the coarse quantizer is
-    engine-internal; exactness is covered by q_similarity_topk and the
-    recall tests in tests/test_similarity.py)."""
-    from pyppi_spark.operators.similarity import ivf_topk
+    """IVF-flat approximate top-k. The coarse quantizer is pinned as a pure
+    function of the embeddings parquet (numpy k-means over an md5-ordered
+    sample — train_centroids_from_file), so the SQL oracle reproduces the
+    ENTIRE query: assignment, probing, and exact scoring, value-for-value.
+    (The Spark-sampled trainer is exercised in tests/test_similarity.py.)"""
+    from pyppi_spark.operators.similarity import ivf_topk, train_centroids_from_file
 
+    cents = train_centroids_from_file(
+        f"{sf_dir}/embeddings.parquet", n_centroids=8, seed=42
+    )
     emb = _embeddings(spark, sf_dir)
-    return ivf_topk(
-        emb.where(F.col("vec_id") < 5), emb, k=10, n_centroids=8, n_probe=3, seed=42
+    out = ivf_topk(
+        emb.where(F.col("vec_id") < 5), emb, k=10, n_probe=3, centroids=cents
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.col("rk").cast("long").alias("rk"), "cos_sim"
     )
 
 
@@ -996,6 +1004,55 @@ WITH RECURSIVE W AS (
   SELECT e.d, r.l FROM R r JOIN E e ON r.n = e.s
 ), C AS (SELECT n, min(l) AS rep FROM R GROUP BY n)
 SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT n FROM C WHERE n <> rep)
+"""
+
+
+def _ann_ivf_sql(n_centroids: int = 8, n_probe: int = 3, k: int = 10, seed: int = 42) -> str:
+    """DuckDB mirror of q_ann_ivf: the quantizer is a pure function of the
+    sf0.01 embeddings parquet (same numpy training the query runs), its
+    centroids and norms inlined as literals; cell assignment (rk=1), probe
+    set (rk<=n_probe), and exact cosine scoring replicate the Spark plan.
+    Ties on centroid similarity order by cid DESC to match the engine's
+    reverse(array_sort) (descending sim, then descending index)."""
+    import numpy as np
+    from pyppi_spark.operators.similarity import train_centroids_from_file
+
+    cents = train_centroids_from_file(
+        "/root/testdata/sf0.01/embeddings.parquet", n_centroids=n_centroids, seed=seed
+    )
+    rows = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[], {float(np.linalg.norm(c))!r})"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH C(cid, cv, cn) AS (VALUES {rows}),
+E AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+  FROM embeddings
+),
+S AS (
+  SELECT e.vec_id, e.v, e.n, c.cid,
+         list_dot_product(e.v, c.cv) / (e.n * c.cn) AS cs
+  FROM E e CROSS JOIN C c
+),
+R AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid DESC) AS crk
+  FROM S
+),
+CAND AS (SELECT vec_id AS neighbor_id, v AS cv_, n AS cn_, cid AS cell FROM R WHERE crk = 1),
+Q AS (SELECT vec_id AS query_id, v AS qv, n AS qn, cid AS cell FROM R WHERE crk <= {n_probe} AND vec_id < 5),
+P AS (
+  SELECT DISTINCT query_id, neighbor_id,
+         list_dot_product(qv, cv_) / (qn * cn_) AS cos_sim
+  FROM Q JOIN CAND USING (cell)
+  WHERE neighbor_id != query_id
+),
+T AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM P
+)
+SELECT query_id, neighbor_id, rk::BIGINT AS rk, cos_sim FROM T WHERE rk <= {k}
 """
 
 
@@ -1337,7 +1394,5 @@ FROM d GROUP BY user_id
         "minhash_lsh": _minhash_lsh_sql(num_hashes=64, seed=42, bands=16, rows_per_band=4),
         "simhash": _simhash_sql(),
         "ngram_near_dedup": _ngram_near_dedup_sql(threshold=0.8, shingle_n=3),
-        # ann_ivf: intentionally no oracle (the IVF coarse quantizer is an
-        # engine-internal k-means; exactness is covered by similarity_topk's
-        # oracle and the recall tests) → driver rows-only check.
+        "ann_ivf": _ann_ivf_sql(n_centroids=8, n_probe=3, k=10, seed=42),
     }

@@ -210,6 +210,46 @@ def lsh_topk(
     )
 
 
+def _kmeans(sample: np.ndarray, n_centroids: int, iters: int, seed: int) -> np.ndarray:
+    """Seeded Lloyd iterations over a bounded in-memory sample (cosine
+    assignment, mean update) — shared by the Spark-sampled and file-based
+    trainers so both produce identical centroids from identical samples."""
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), n_centroids, replace=False)]
+    for _ in range(iters):
+        d = sample @ cent.T
+        norms = np.linalg.norm(sample, axis=1, keepdims=True) * np.linalg.norm(cent.T, axis=0, keepdims=True)
+        assign = np.argmax(d / np.maximum(norms, 1e-12), axis=1)
+        for c in range(n_centroids):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def train_centroids_from_file(
+    path: str,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = 10_000,
+    iters: int = 5,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train the IVF coarse quantizer as a PURE FUNCTION of a parquet file
+    (pyarrow + numpy, no Spark session) — used where the quantizer must be
+    reproducible outside the engine (e.g. to pin centroid literals into a
+    SQL oracle). Sampling: rows ordered by md5 of the id, first N."""
+    import hashlib
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=[id_col, vec_col]).to_pandas()
+    order = t[id_col].map(lambda x: hashlib.md5(f"{seed}|{x}".encode()).hexdigest())
+    t = t.loc[order.sort_values(kind="mergesort").index]
+    V = np.stack(t[vec_col].to_numpy()[:sample_rows]).astype(np.float64)
+    return _kmeans(V, n_centroids, iters, seed)
+
+
 def train_centroids(
     candidates: DataFrame,
     n_centroids: int = 16,
@@ -240,17 +280,7 @@ def train_centroids(
     sample = np.array(
         side.orderBy(h, "_id").limit(sample_rows).toPandas()["v"].tolist()
     )
-    rng = np.random.default_rng(seed)
-    cent = sample[rng.choice(len(sample), n_centroids, replace=False)]
-    for _ in range(iters):
-        d = sample @ cent.T
-        norms = np.linalg.norm(sample, axis=1, keepdims=True) * np.linalg.norm(cent.T, axis=0, keepdims=True)
-        assign = np.argmax(d / np.maximum(norms, 1e-12), axis=1)
-        for c in range(n_centroids):
-            members = sample[assign == c]
-            if len(members):
-                cent[c] = members.mean(axis=0)
-    return cent
+    return _kmeans(sample, n_centroids, iters, seed)
 
 
 def _nearest_centroids_expr(vec, centroids: np.ndarray, n: int, vnorm=None):
