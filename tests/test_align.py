@@ -99,3 +99,31 @@ def test_subsequence_right_gives_only_matches_and_dels(spark):
     assert (out[out.op == "match"].left_idx % 5 != 0).all()
     assert sorted(out[out.op == "del"].left_idx) == [0, 5, 10, 15]
     assert out.total_score.iloc[0] == 2.0 * 16 - 4
+
+
+def test_kernel_property_random_sequences():
+    """Property: vectorized prefix-max DP total == naive quadratic DP on
+    random sequences with dup-heavy small alphabets (worst case for tie
+    handling), and traceback ops always reconstruct the total."""
+    from hypothesis import given, settings, strategies as st
+
+    token = st.sampled_from(["a", "b", "c", "aa"])
+    role = st.sampled_from(["user", "assistant"])
+    seqs = st.tuples(
+        st.lists(st.tuples(token, role), max_size=12),
+        st.lists(st.tuples(token, role), max_size=12),
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(seqs)
+    def check(pair):
+        l, r = pair
+        lt, lr = [x[0] for x in l], [x[1] for x in l]
+        rt, rr = [x[0] for x in r], [x[1] for x in r]
+        ops, total = _nw_align(lt, rt, lr, rr, 2.0, 0.0, -1.0, -1.0)
+        assert total == naive_nw(lt, rt, lr, rr)
+        assert sum(p for _, _, _, p in ops) == total
+        assert [a for a, _, _, _ in ops if a is not None] == list(range(len(lt)))
+        assert [b for _, b, _, _ in ops if b is not None] == list(range(len(rt)))
+
+    check()
