@@ -793,6 +793,15 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates(sigs, bands=16, rows_per_band=4)
 
 
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash document fingerprints (MOSS scheme) — the
+    fingerprint set per document, portable hash for the oracle."""
+    from pyppi_spark.operators.dedup import winnow_fingerprints
+
+    docs = _documents(spark, sf_dir)
+    return winnow_fingerprints(docs, k=7, window=4, hash_mode="portable")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints, portable-hash variant emitted as two 32-bit
     halves so the oracle reproduces them exactly (the production simhash64
@@ -839,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "winnow": q_winnow,
     }
 
 
@@ -1395,4 +1405,18 @@ FROM d GROUP BY user_id
         "simhash": _simhash_sql(),
         "ngram_near_dedup": _ngram_near_dedup_sql(threshold=0.8, shingle_n=3),
         "ann_ivf": _ann_ivf_sql(n_centroids=8, n_probe=3, k=10, seed=42),
+        "winnow": f"""
+WITH N AS (
+  SELECT doc_id, {_NORM} AS t FROM documents
+), P AS (
+  SELECT doc_id, t, unnest(generate_series(1, greatest(length(t) - 6, 1))) AS pos
+  FROM N
+), H AS (
+  SELECT doc_id, pos, {_H32.format(x="substr(t, pos::INT, 7)")} AS h FROM P
+)
+SELECT DISTINCT doc_id,
+       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
+FROM H
+""",
     }

@@ -245,6 +245,52 @@ def simhash64(
     return agg.select(F.col(id_col), sim.alias("simhash"))
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 7,
+    window: int = 4,
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al.'s rolling-hash
+    selection, the MOSS scheme): hash every character ``k``-gram of the
+    normalized text, slide a ``window`` over consecutive positions, keep
+    each window's minimum hash; the DISTINCT selected minima are the
+    document's fingerprint set → (id, fingerprint) rows.
+
+    Relational formulation — positions generated with
+    ``explode(sequence(...))`` (codegen), gram hashing JVM-side, the
+    sliding minimum as a window ``min`` over ``ROWS BETWEEN CURRENT ROW AND
+    window-1 FOLLOWING`` (suffix windows shrink; pinned, mirrored by the
+    oracle). One shuffle on the doc id shared by the window and the final
+    distinct. Documents shorter than ``k`` chars contribute their whole
+    text as one gram so every document gets ≥1 fingerprint.
+    """
+    t = _normalize(F.col(text_col))
+    positions = df.select(
+        F.col(id_col),
+        t.alias("_t"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - F.lit(k - 1), F.lit(1)))
+        ).alias("_pos"),
+    )
+    grams = positions.select(
+        F.col(id_col),
+        "_pos",
+        _word_hash(F.col("_t").substr(F.col("_pos"), F.lit(k)), hash_mode).alias("_h"),
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("_pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    return (
+        grams.select(F.col(id_col), F.min("_h").over(w).alias("fingerprint"))
+        .distinct()
+    )
+
+
 def simhash_portable32(
     df: DataFrame,
     text_col: str = "text",

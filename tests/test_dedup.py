@@ -99,3 +99,26 @@ def test_components_long_chain_converges(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(11)], "a long, b long")
     comp = {r.node: r.label for r in near_dup_components(pairs).collect()}
     assert set(comp.values()) == {0} and len(comp) == 12
+
+
+def test_winnow_fingerprints_detect_shared_substrings(spark):
+    from pyppi_spark.operators.dedup import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (0, f"AAAA {shared} BBBB"),
+            (1, f"CCCCCC {shared} DDDD"),
+            (2, "completely unrelated content with nothing in common at all"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(docs, k=7, window=4).toPandas()
+    s = {i: set(fp[fp.doc_id == i].fingerprint) for i in range(3)}
+    # winnowing guarantee: any shared substring of length >= k+window-1
+    # yields at least one shared fingerprint
+    assert s[0] & s[1]
+    # overlap with the unrelated doc is far smaller than the plagiarised pair
+    assert len(s[0] & s[1]) > 3 * len(s[0] & s[2])
+    # every doc yields at least one fingerprint
+    assert all(len(s[i]) > 0 for i in range(3))
