@@ -34,6 +34,7 @@ HEADLINE = [
     "lag_lead",
     "backfill",
     "asof_join",
+    "asof_forward",
     "asof_nearest",
     "user_features",
     "range_join",
@@ -45,6 +46,7 @@ HEADLINE = [
     "similarity_topk",
     "embed_threshold_join",
     "minhash_lsh",
+    "winnow",
     "ngram_near_dedup",
     "align",
     "equi_join",

@@ -101,3 +101,33 @@ def test_turn_features_agree_with_oracle(spark, pdf):
         want["gap_prev_s"].astype(float),
         rtol=1e-9, atol=1e-9, equal_nan=True,
     )
+
+
+def test_new_operators_deterministic_across_partitioning(spark, tiny_df):
+    """Round-2 operators must obey the repo invariant: identical output
+    regardless of physical partitioning."""
+    from pyppi_spark.operators.align import align_conversations
+    from pyppi_spark.operators.dedup import winnow_fingerprints
+    from pyspark.sql import functions as F
+
+    docs = tiny_df.select(
+        F.xxhash64("conv_id", "turn_idx").alias("doc_id"), F.col("text")
+    )
+    right = tiny_df.where(F.col("turn_idx") % 3 != 0)
+
+    def run(df_docs, df_l, df_r):
+        fp = winnow_fingerprints(df_docs).toPandas().sort_values(
+            ["doc_id", "fingerprint"]).reset_index(drop=True)
+        al = (
+            align_conversations(df_l, df_r)
+            .groupBy("conv_id")
+            .agg(F.sum(F.when(F.col("op") == "match", 1).otherwise(0)).alias("m"),
+                 F.max("total_score").alias("s"))
+            .toPandas().sort_values("conv_id").reset_index(drop=True)
+        )
+        return fp, al
+
+    fp1, al1 = run(docs, tiny_df, right)
+    fp2, al2 = run(docs.repartition(17), tiny_df.repartition(13), right.repartition(7))
+    assert fp1.equals(fp2)
+    assert al1.equals(al2)
