@@ -691,7 +691,9 @@ def q_ngram_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _documents(spark, sf_dir)
     sigs = minhash_signatures(docs)
-    cands = minhash_lsh_candidates(sigs, bands=32, rows_per_band=2)
+    # candidates feed THREE joins in the verify stage — materialize once or
+    # the whole minhash+LSH pipeline recomputes per reference
+    cands = minhash_lsh_candidates(sigs, bands=32, rows_per_band=2).localCheckpoint()
     dups = ngram_jaccard_pairs(docs, cands, threshold=0.8)
     return near_dedup_representatives(docs, dups).select("doc_id")
 
