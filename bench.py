@@ -46,6 +46,7 @@ HEADLINE = [
     "similarity_topk",
     "embed_threshold_join",
     "minhash_lsh",
+    "winnow",
     "ngram_near_dedup",
     "align",
     "equi_join",
@@ -120,15 +121,6 @@ def main() -> None:
     )
     timings["minhash_lsh_fast"] = round(time.perf_counter() - t0, 3)
     total += timings["minhash_lsh_fast"]
-
-    # winnowing fingerprints, production hash (the driver query's portable
-    # md5-prefix mode exists for its value oracle; xxhash64 is ~5× cheaper)
-    from pyppi_spark.operators.dedup import winnow_fingerprints
-
-    t0 = time.perf_counter()
-    force(winnow_fingerprints(docs, k=7, window=4, hash_mode="fast"))
-    timings["winnow_fast"] = round(time.perf_counter() - t0, 3)
-    total += timings["winnow_fast"]
 
     # flagship: full per-turn + per-conversation feature extraction
     ev = entrymod._events(spark, SF_DIR)

@@ -259,26 +259,38 @@ def winnow_fingerprints(
     each window's minimum hash; the DISTINCT selected minima are the
     document's fingerprint set → (id, fingerprint) rows.
 
-    Relational formulation — positions generated with
-    ``explode(sequence(...))`` (codegen), gram hashing JVM-side, the
-    sliding minimum as a window ``min`` over ``ROWS BETWEEN CURRENT ROW AND
-    window-1 FOLLOWING`` (suffix windows shrink; pinned, mirrored by the
-    oracle). One shuffle on the doc id shared by the window and the final
-    distinct. Documents shorter than ``k`` chars contribute their whole
-    text as one gram so every document gets ≥1 fingerprint.
+    Relational formulation — one row per CHARACTER (``posexplode(split)``),
+    grams rebuilt by ``lead``-concat over the per-doc window (identical
+    strings to ``substring(t, pos, k)``), the sliding minimum as a window
+    ``min`` over ``ROWS BETWEEN CURRENT ROW AND window-1 FOLLOWING``
+    (suffix windows shrink; pinned, mirrored by the oracle). Exploding
+    POSITIONS of the full text instead would carry the whole document on
+    every one of its len rows — measured ~10× this formulation's cost.
+    One shuffle on the doc id feeds all three window passes and the final
+    distinct. Documents shorter than ``k`` chars (including empty)
+    contribute their whole text as one gram so every document gets ≥1
+    fingerprint.
     """
     t = _normalize(F.col(text_col))
-    positions = df.select(
+    chars = df.select(
         F.col(id_col),
-        t.alias("_t"),
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.length(t) - F.lit(k - 1), F.lit(1)))
-        ).alias("_pos"),
-    )
-    grams = positions.select(
+        F.posexplode_outer(F.split(t, "")).alias("_pos", "_c0"),
+    ).withColumn("_pos", F.coalesce("_pos", F.lit(0)))  # empty doc → one row
+    wo = Window.partitionBy(id_col).orderBy("_pos")
+    wn = Window.partitionBy(id_col)
+    staged = chars.select(
         F.col(id_col),
         "_pos",
-        _word_hash(F.col("_t").substr(F.col("_pos"), F.lit(k)), hash_mode).alias("_h"),
+        "_c0",
+        *[F.lead("_c0", j).over(wo).alias(f"_c{j}") for j in range(1, k)],
+        F.count(F.lit(1)).over(wn).alias("_nc"),
+    )
+    grams = staged.where(
+        F.col("_pos") + 1 <= F.greatest(F.col("_nc") - F.lit(k - 1), F.lit(1))
+    ).select(
+        F.col(id_col),
+        "_pos",
+        _word_hash(F.concat_ws("", *[f"_c{j}" for j in range(k)]), hash_mode).alias("_h"),
     )
     w = (
         Window.partitionBy(id_col)
