@@ -117,6 +117,60 @@ def image_features(
     return pruned.mapInPandas(kernel, schema=IMAGE_FEATURES_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("out_h", T.IntegerType(), False),
+        T.StructField("out_w", T.IntegerType(), False),
+        T.StructField("pixels", T.ArrayType(T.FloatType()), False),  # row-major
+    ]
+)
+
+
+def image_resize(
+    media: DataFrame,
+    out_h: int = 4,
+    out_w: int = 4,
+    decoder: Callable[[bytes], np.ndarray] = fake_image_decode,
+) -> DataFrame:
+    """Resize decoded images to (out_h, out_w) by block mean-pooling — the
+    standard pre-embedding normalization step. Decode is the injectable
+    stub; the pooling is real vectorized numpy; output is a flat row-major
+    pixel array (small, shuffle-safe) — the binary payload never leaves
+    the map side."""
+
+    def pool(plane: np.ndarray) -> np.ndarray:
+        h, w = plane.shape
+        ys = np.linspace(0, h, out_h + 1).astype(int)
+        xs = np.linspace(0, w, out_w + 1).astype(int)
+        return np.array(
+            [
+                [plane[ys[i]:max(ys[i + 1], ys[i] + 1), xs[j]:max(xs[j + 1], xs[j] + 1)].mean()
+                 for j in range(out_w)]
+                for i in range(out_h)
+            ],
+            dtype=np.float32,
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "out_h": out_h,
+                    "out_w": out_w,
+                    "pixels": [
+                        pool(decoder(p or b"")).reshape(-1).tolist()
+                        for p in pdf["payload"]
+                    ],
+                },
+                columns=[f.name for f in RESIZE_SCHEMA.fields],
+            )
+
+    pruned = media.where(media.kind == "image").select("media_id", "payload")
+    return pruned.mapInPandas(kernel, schema=RESIZE_SCHEMA)
+
+
 def frame_sample(
     media: DataFrame,
     every_s: float = 1.0,

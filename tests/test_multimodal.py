@@ -53,3 +53,19 @@ def test_binary_column_pruned_from_plan(spark):
     plan = feats._jdf.queryExecution().executedPlan().toString()
     assert "payload" not in feats.columns
     assert "mean_luma" in plan
+
+
+def test_image_resize_block_pooling(spark):
+    import numpy as np
+    from pyppi_spark.operators.multimodal import gen_media, image_resize, fake_image_decode
+
+    media = gen_media(spark, n=9, seed=7)
+    out = image_resize(media, out_h=4, out_w=4).toPandas()
+    assert len(out) == media.where("kind = 'image'").count()
+    assert all(len(p) == 16 for p in out.pixels)
+    # pooling preserves the global mean of the decoded 8x8 plane (equal
+    # 2x2 blocks), and is deterministic per payload
+    payloads = {r["media_id"]: r["payload"] for r in media.collect() if r["kind"] == "image"}
+    for _, r in out.iterrows():
+        plane = fake_image_decode(payloads[r["media_id"]])
+        assert abs(np.mean(r.pixels) - plane.mean()) < 1e-4
