@@ -804,6 +804,34 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(docs, k=7, window=4, hash_mode="portable")
 
 
+def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 tokens by TF-IDF (text-analysis family). The
+    inverse-document-frequency factor is the exact rational n_docs/df —
+    not log-scaled — so the score is a pure function of integer counts and
+    bitwise identical across engines (Java and libm log() disagree at the
+    last ULP). Plan: one explode + two hash aggs + broadcast n_docs +
+    window top-k."""
+    docs = _documents(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ")).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", (F.col("tf") * F.col("n_docs")) / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", F.col("rk").cast("long").alias("rk"), "tok", "tf", "df", "tfidf")
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints, portable-hash variant emitted as two 32-bit
     halves so the oracle reproduces them exactly (the production simhash64
@@ -851,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "winnow": q_winnow,
+        "top_tokens": q_top_tokens,
     }
 
 
@@ -1407,6 +1436,20 @@ FROM d GROUP BY user_id
         "simhash": _simhash_sql(),
         "ngram_near_dedup": _ngram_near_dedup_sql(threshold=0.8, shingle_n=3),
         "ann_ivf": _ann_ivf_sql(n_centroids=8, n_probe=3, k=10, seed=42),
+        "top_tokens": f"""
+WITH T AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+), TF AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS tf FROM T GROUP BY doc_id, tok
+), DFRQ AS (
+  SELECT tok, count(*)::BIGINT AS df FROM TF GROUP BY tok
+), N AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM documents)
+SELECT doc_id, rk::BIGINT AS rk, tok, tf, df, tfidf FROM (
+  SELECT tf.doc_id, tf.tok, tf.tf, d.df, (tf.tf * n.n_docs) / d.df AS tfidf,
+         row_number() OVER (PARTITION BY tf.doc_id ORDER BY (tf.tf * n.n_docs) / d.df DESC, tf.tok) AS rk
+  FROM TF tf JOIN DFRQ d ON tf.tok = d.tok CROSS JOIN N n
+) WHERE rk <= 3
+""",
         "winnow": f"""
 WITH N AS (
   SELECT doc_id, {_NORM} AS t FROM documents

@@ -122,3 +122,31 @@ def test_winnow_fingerprints_detect_shared_substrings(spark):
     assert len(s[0] & s[1]) > 3 * len(s[0] & s[2])
     # every doc yields at least one fingerprint
     assert all(len(s[i]) > 0 for i in range(3))
+
+
+def test_winnow_guarantee_property(spark):
+    """The winnowing guarantee (Schleimer et al.): any substring shared by
+    two documents of length >= k + window - 1 produces at least one shared
+    fingerprint — exercised over generated doc pairs with planted shared
+    fragments at varying offsets."""
+    import numpy as np
+
+    k, w = 7, 4
+    rng = np.random.default_rng(11)
+    alphabet = list("abcdefgh ")
+    rows = []
+    for i in range(12):
+        shared = "".join(rng.choice(alphabet, size=k + w - 1 + int(rng.integers(0, 8))))
+        pre_a = "".join(rng.choice(alphabet, size=int(rng.integers(0, 30))))
+        suf_a = "".join(rng.choice(alphabet, size=int(rng.integers(0, 30))))
+        pre_b = "".join(rng.choice(alphabet, size=int(rng.integers(0, 30))))
+        suf_b = "".join(rng.choice(alphabet, size=int(rng.integers(0, 30))))
+        rows.append((2 * i, pre_a + shared + suf_a))
+        rows.append((2 * i + 1, pre_b + shared + suf_b))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from pyppi_spark.operators.dedup import winnow_fingerprints
+
+    fp = winnow_fingerprints(docs, k=k, window=w).toPandas()
+    by_doc = fp.groupby("doc_id")["fingerprint"].apply(set)
+    for i in range(12):
+        assert by_doc[2 * i] & by_doc[2 * i + 1], f"pair {i} shares no fingerprint"
