@@ -804,6 +804,19 @@ def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(docs, k=7, window=4, hash_mode="portable")
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced deterministic downsampling: 20 events per event_type
+    by seeded hash order (the training-set rebalancing step; deterministic
+    analog of the reference's unseeded Monte-Carlo sampling)."""
+    from pyppi_spark.operators.sampling import stratified_sample
+
+    ev = _events(spark, sf_dir)
+    out = stratified_sample(
+        ev, ["event_type"], n_per_group=20, id_col="event_id", seed=7
+    )
+    return out.select("event_type", "event_id", "user_id")
+
+
 def q_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 tokens by TF-IDF (text-analysis family). The
     inverse-document-frequency factor is the exact rational n_docs/df —
@@ -880,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "winnow": q_winnow,
         "top_tokens": q_top_tokens,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1436,6 +1450,16 @@ FROM d GROUP BY user_id
         "simhash": _simhash_sql(),
         "ngram_near_dedup": _ngram_near_dedup_sql(threshold=0.8, shingle_n=3),
         "ann_ivf": _ann_ivf_sql(n_centroids=8, n_probe=3, k=10, seed=42),
+        "stratified_sample": """
+SELECT event_type, event_id, user_id FROM (
+  SELECT event_type, event_id, user_id,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY ('0x' || substr(md5('7|' || event_id::VARCHAR), 1, 8))::BIGINT, event_id
+         ) AS rk
+  FROM events
+) WHERE rk <= 20
+""",
         "top_tokens": f"""
 WITH T AS (
   SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents

@@ -12,6 +12,7 @@ from .dedup import (
     near_dedup_representatives,
 )
 from .align import align_conversations
+from .sampling import stratified_sample
 from .similarity import brute_force_topk, lsh_topk, ivf_topk, embedding_neardup_pairs, threshold_pairs_exact
 from .salted_agg import salted_agg
 from .window_extras import (
@@ -43,6 +44,7 @@ __all__ = [
     "embedding_neardup_pairs",
     "threshold_pairs_exact",
     "align_conversations",
+    "stratified_sample",
     "salted_agg",
     "with_table_driven_offsets",
     "bounded_lookahead",
