@@ -33,7 +33,9 @@ def salted_agg(
     {count, sum, min, max, avg}.
 
     The salt is a pure function of row CONTENT (``xxhash64`` of
-    ``salt_cols``, default all columns) — never ``rand()`` or
+    ``salt_cols``, default: the grouping keys plus every column an
+    aggregate reads — all hashable by construction, unlike arbitrary
+    map-typed columns) — never ``rand()`` or
     ``monotonically_increasing_id()``: a nondeterministic salt feeding a
     shuffle key means a map task recomputed after a fetch failure re-salts
     its rows differently, and reducers combine stale and fresh partials
@@ -75,7 +77,11 @@ def salted_agg(
         else:
             raise ValueError(f"non-algebraic aggregate {fn!r} cannot be salted")
 
-    salt_src = list(salt_cols) if salt_cols is not None else list(df.columns)
+    if salt_cols is not None:
+        salt_src = list(salt_cols)
+    else:
+        referenced = [c for _, (_, c) in sorted(aggs.items()) if c != "*"]
+        salt_src = list(dict.fromkeys(keys + referenced)) or keys
     salted = df.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in salt_src]), F.lit(salt_buckets))
     )
