@@ -59,7 +59,9 @@ def balanced_assignment(
         rows = [(r[conv_col], int(r["count"])) for r in sizes.collect()]
         top_ids = None
 
-    rows.sort(key=lambda x: -x[1])
+    # ties on size break by conv_id: collect() order is partition-layout-
+    # dependent and the bin-pack must be identical across runs (invariant)
+    rows.sort(key=lambda x: (-x[1], str(x[0])))
     heap = [(0, b) for b in range(n_buckets)]
     heapq.heapify(heap)
     assign = []

@@ -70,12 +70,18 @@ def _nw_align(
         c = np.maximum(H[i - 1, :-1] + s, H[i - 1, 1:] + gap)  # diag, up
         # horizontal recurrence H[i,j] = max(c_j, H[i,j-1]+gap) as a
         # prefix-max: g_j = H[i,j] - j*gap is the running max of c_j - j*gap
-        # seeded by H[i,0]
+        # seeded by H[i,0]. The ±j*gap roundtrip can perturb H by ~1 ULP
+        # for non-integral parameters, so the traceback below compares with
+        # a tolerance and the returned total is the SUM of the chosen ops
+        # (self-consistent by construction; bit-equal to H[n,m] whenever
+        # the parameters are exactly representable, e.g. the defaults).
         g = np.maximum.accumulate(
             np.concatenate(([H[i, 0]], c - jidx * gap))
         )
         H[i, 1:] = g[1:] + jidx * gap
-    total = float(H[n, m])
+
+    def near(a: float, b: float) -> bool:
+        return abs(a - b) <= 1e-9 * (1.0 + abs(a) + abs(b))
 
     ops: list[tuple[int | None, int | None, str, float]] = []
     i, j = n, m
@@ -86,18 +92,19 @@ def _nw_align(
                 if l_text[i - 1] == r_text[j - 1]
                 else (sub_role if l_role[i - 1] == r_role[j - 1] else mismatch)
             )
-            if H[i, j] == H[i - 1, j - 1] + s:  # diagonal first (priority)
+            if near(H[i, j], H[i - 1, j - 1] + s):  # diagonal first (priority)
                 kind = "match" if l_text[i - 1] == r_text[j - 1] else "sub"
                 ops.append((i - 1, j - 1, kind, float(s)))
                 i, j = i - 1, j - 1
                 continue
-        if i > 0 and H[i, j] == H[i - 1, j] + gap:  # up = delete from left
+        if i > 0 and (j == 0 or near(H[i, j], H[i - 1, j] + gap)):  # up = delete
             ops.append((i - 1, None, "del", float(gap)))
             i -= 1
             continue
         ops.append((None, j - 1, "ins", float(gap)))
         j -= 1
     ops.reverse()
+    total = float(sum(p for _, _, _, p in ops)) if ops else 0.0
     return ops, total
 
 

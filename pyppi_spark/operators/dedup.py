@@ -437,6 +437,7 @@ def near_dup_components(
         edges.select(F.col("s").alias("node")).distinct().withColumn("label", F.col("node"))
     )
     prev = None
+    converged = False
     for _ in range(max_iters):
         neigh = edges.join(
             labels.select(F.col("node").alias("d"), "label"), "d"
@@ -451,8 +452,17 @@ def near_dup_components(
         # order-free, and (node,label) rows are unique so nothing cancels
         digest = labels.agg(F.expr("bit_xor(xxhash64(node, label))")).collect()[0][0]
         if digest == prev:
+            converged = True
             break
         prev = digest
+    if not converged:
+        # non-converged labels silently under-merge duplicate clusters —
+        # fail loudly instead (a 25-hop near-dup CHAIN is pathological;
+        # raise max_iters or switch to large-star/small-star)
+        raise RuntimeError(
+            f"near_dup_components did not reach a fixpoint in {max_iters} "
+            "rounds — component diameter exceeds max_iters"
+        )
     return labels
 
 

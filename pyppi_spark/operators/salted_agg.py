@@ -81,7 +81,15 @@ def salted_agg(
         salt_src = list(salt_cols)
     else:
         referenced = [c for _, (_, c) in sorted(aggs.items()) if c != "*"]
-        salt_src = list(dict.fromkeys(keys + referenced)) or keys
+        salt_src = list(dict.fromkeys(keys + referenced))
+    if not [c for c in salt_src if c not in keys]:
+        # a salt that is a pure function of the group keys is constant per
+        # hot key — zero spreading plus an extra shuffle, silently
+        raise ValueError(
+            "salted_agg needs row-level salt entropy: every aggregate is "
+            "count(*) so no value column varies within a key — pass "
+            "salt_cols with a row-distinguishing column"
+        )
     salted = df.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in salt_src]), F.lit(salt_buckets))
     )

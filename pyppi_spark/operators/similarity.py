@@ -171,15 +171,21 @@ def lsh_topk(
     n_tables: int = 8,
     n_bits: int = 8,
     seed: int = 42,
-    dim: int = 64,
+    dim: int | None = None,
     bucket_strategy: str = "blas",
 ) -> DataFrame:
     """Approximate top-k: exact cosine within random-hyperplane buckets.
+
+    ``dim`` is REQUIRED (no silent default): planes built for the wrong
+    width make the jvm strategy degenerate silently (null-padded dots put
+    every vector in bucket 0 → an O(n²) cross join per table).
 
     Join key is (table_idx, bucket) — a pure equi-join, shuffled-hash/SMJ,
     AQE-skew-splittable. A (query, candidate) pair can collide in several
     tables → dedup before scoring.
     """
+    if dim is None:
+        raise ValueError("pass the embedding dim explicitly (e.g. dim=64)")
     planes = _random_planes(dim, n_tables, n_bits, seed)
 
     qb = _banded(queries, query_id_col, id_col, vec_col, planes, dim, bucket_strategy)
@@ -382,29 +388,34 @@ def threshold_pairs_exact(
     """
     import pandas as pd
 
+    id_type = df.schema[id_col].dataType.simpleString()
     side = df.select(F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v"))
     pdf = side.toPandas()  # the broadcast matrix side (bounded by contract)
     if not len(pdf):
         return df.sparkSession.createDataFrame(
-            [], f"a {df.schema[id_col].dataType.simpleString()}, b {df.schema[id_col].dataType.simpleString()}, cos_sim double"
+            [], f"a {id_type}, b {id_type}, cos_sim double"
         )
     ids = pdf["_id"].to_numpy()
     M = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
     Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
     cut = threshold - guard
+    # ship the matrix as a real Spark broadcast — one copy per executor,
+    # not re-pickled into every task closure
+    bc = df.sparkSession.sparkContext.broadcast((ids, Mn))
 
     def prune(batches):
+        b_ids, b_Mn = bc.value
         for b in batches:
             if not len(b):
                 continue
             A = np.stack(b["_v"].to_numpy()).astype(np.float64)
             An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
-            S = An @ Mn.T
+            S = An @ b_Mn.T
             ai, bi = np.nonzero(S >= cut)
-            out = pd.DataFrame({"a": b["_id"].to_numpy()[ai], "b": ids[bi]})
+            out = pd.DataFrame({"a": b["_id"].to_numpy()[ai], "b": b_ids[bi]})
             yield out[out.a < out.b]
 
-    cand = side.mapInPandas(prune, schema="a long, b long")
+    cand = side.mapInPandas(prune, schema=f"a {id_type}, b {id_type}")
     va = df.select(
         F.col(id_col).alias("a"),
         _as_double(vec_col).alias("_va"),
@@ -431,11 +442,17 @@ def embedding_neardup_pairs(
     n_tables: int = 8,
     n_bits: int = 8,
     seed: int = 42,
-    dim: int = 64,
+    dim: int | None = None,
     bucket_strategy: str = "blas",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b) above ``threshold``:
-    LSH-bucketed candidate generation + exact cosine verification."""
+    LSH-bucketed candidate generation + exact cosine verification.
+    ``dim`` is required — see lsh_topk. Note the two bucket strategies can
+    disagree on pairs within 1 ULP of ``threshold`` (numpy vs JVM-fold
+    norm summation order); the candidate-generation stage is approximate
+    by construction either way."""
+    if dim is None:
+        raise ValueError("pass the embedding dim explicitly (e.g. dim=64)")
     planes = _random_planes(dim, n_tables, n_bits, seed)
     banded = _banded(df, "x", id_col, vec_col, planes, dim, bucket_strategy)
     a = banded.select(

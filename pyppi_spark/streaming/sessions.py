@@ -57,6 +57,7 @@ def streaming_running_state(
     conv_col: str = "conv_id",
     ts_col: str = "ts",
     role_col: str = "role",
+    idx_col: str = "turn_idx",
 ) -> DataFrame:
     """Custom stateful operator (``applyInPandasWithState``): per-conversation
     RUNNING feature state — turn count, exact int64-µs gap accumulation
@@ -80,7 +81,10 @@ def streaming_running_state(
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            pdf = pdf.sort_values([ts_col], kind="mergesort")
+            # total order (ts, turn_idx) within the batch — the repo-wide
+            # tie rule; across batches ordering is arrival order (the
+            # structured-streaming custom-state contract)
+            pdf = pdf.sort_values([ts_col, idx_col], kind="mergesort")
             ts_us = (pdf[ts_col].astype("int64") // 1000).tolist()
             roles = pdf[role_col].tolist()
             for t, r in zip(ts_us, roles):
@@ -107,7 +111,7 @@ def streaming_running_state(
         )
 
     return (
-        stream.select(conv_col, ts_col, role_col)
+        stream.select(conv_col, ts_col, role_col, idx_col)
         .groupBy(conv_col)
         .applyInPandasWithState(
             fold,

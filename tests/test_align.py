@@ -127,3 +127,25 @@ def test_kernel_property_random_sequences():
         assert [b for _, b, _, _ in ops if b is not None] == list(range(len(rt)))
 
     check()
+
+
+def test_kernel_non_integral_scoring_params():
+    """Regression: non-integral scoring parameters perturb the prefix-max
+    DP rows by ~1 ULP; the traceback must still emit a VALID alignment
+    (every position consumed once, total == sum of ops, near-optimal) and
+    never walk out of bounds."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    toks = ["a", "b", "c", "d"]
+    for _ in range(300):
+        lt = [toks[i] for i in rng.integers(0, 4, size=rng.integers(0, 11))]
+        rt = [toks[i] for i in rng.integers(0, 4, size=rng.integers(0, 11))]
+        lr = ["user"] * len(lt)
+        rr = ["user"] * len(rt)
+        ops, total = _nw_align(lt, rt, lr, rr, 2.3, 0.1, -1.1, -0.7)
+        opt = naive_nw(lt, rt, lr, rr, 2.3, 0.1, -1.1, -0.7)
+        assert abs(total - sum(p for _, _, _, p in ops)) < 1e-9
+        assert total <= opt + 1e-6 and total >= opt - 1e-6 * (1 + len(lt) + len(rt))
+        assert [a for a, _, _, _ in ops if a is not None] == list(range(len(lt)))
+        assert [b for _, b, _, _ in ops if b is not None] == list(range(len(rt)))
