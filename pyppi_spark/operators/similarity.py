@@ -1,7 +1,7 @@
 """Similarity search over embedding columns (``array<float>``).
 
 Baseline: brute-force cosine top-k (exact) — broadcast the query side,
-unrolled codegen vector math, window top-k. Scale paths:
+fold-dot scoring with per-row norms, window top-k. Scale paths:
 
 - ``lsh_topk``: random-hyperplane LSH — bucket both sides by sign bits of
   seeded random projections, equi-join on (table, bucket), exact cosine
