@@ -17,6 +17,7 @@ value hashes are type- and representation-stable.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -1062,18 +1063,23 @@ SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT n FROM C WHERE n <> rep
 """
 
 
-def _ann_ivf_sql(n_centroids: int = 8, n_probe: int = 3, k: int = 10, seed: int = 42) -> str:
+def _ann_ivf_sql(
+    sf_dir: str, n_centroids: int = 8, n_probe: int = 3, k: int = 10, seed: int = 42
+) -> str:
     """DuckDB mirror of q_ann_ivf: the quantizer is a pure function of the
-    sf0.01 embeddings parquet (same numpy training the query runs), its
+    ``sf_dir`` embeddings parquet (same numpy training the query runs), its
     centroids and norms inlined as literals; cell assignment (rk=1), probe
     set (rk<=n_probe), and exact cosine scoring replicate the Spark plan.
     Ties on centroid similarity order by cid DESC to match the engine's
-    reverse(array_sort) (descending sim, then descending index)."""
+    reverse(array_sort) (descending sim, then descending index). The oracle
+    dict is built once per process, so ``sf_dir`` comes from the same
+    ``SF_DIR`` env the checker reads (driver default sf0.01) — centroids
+    always come from the dataset the query actually runs on."""
     import numpy as np
     from pyppi_spark.operators.similarity import train_centroids_from_file
 
     cents = train_centroids_from_file(
-        "/root/testdata/sf0.01/embeddings.parquet", n_centroids=n_centroids, seed=seed
+        f"{sf_dir}/embeddings.parquet", n_centroids=n_centroids, seed=seed
     )
     rows = ", ".join(
         f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[], {float(np.linalg.norm(c))!r})"
@@ -1449,7 +1455,10 @@ FROM d GROUP BY user_id
         "minhash_lsh": _minhash_lsh_sql(num_hashes=64, seed=42, bands=16, rows_per_band=4),
         "simhash": _simhash_sql(),
         "ngram_near_dedup": _ngram_near_dedup_sql(threshold=0.8, shingle_n=3),
-        "ann_ivf": _ann_ivf_sql(n_centroids=8, n_probe=3, k=10, seed=42),
+        "ann_ivf": _ann_ivf_sql(
+            os.environ.get("SF_DIR", "/root/testdata/sf0.01"),
+            n_centroids=8, n_probe=3, k=10, seed=42,
+        ),
         "stratified_sample": """
 SELECT event_type, event_id, user_id FROM (
   SELECT event_type, event_id, user_id,

@@ -89,6 +89,18 @@ def asof_join_union(
     by = list(by)
     payload = list(payload) if payload is not None else _default_payload(build, by, build_ts, tiebreak)
 
+    # the union plan owns these names internally: a probe/payload column
+    # called e.g. "_bt" would silently collide inside the match struct
+    # (duplicate field → ambiguous _m._bt resolution in nearest mode)
+    reserved = {"_t", "_is_probe", "_sb", "_sf", "_tie", "_payload", "_m", "_mb", "_mf", "_bt"}
+    probe_cols_all = [c for c in probe.columns if c not in by and c != probe_ts]
+    clash = reserved & (set(payload) | set(probe_cols_all) | set(by))
+    if clash:
+        raise ValueError(
+            f"asof_join_union reserves column names {sorted(clash)} internally — "
+            "rename these probe/build/payload columns before the join"
+        )
+
     # Side ordering on timestamp ties: for backward-inclusive, build rows
     # sort BEFORE probe rows so a build row at exactly probe_ts is visible
     # (strict: after). Forward mirrors this. Nearest needs both orderings —

@@ -409,30 +409,141 @@ def ngram_jaccard_pairs(
     )
 
 
+def _symmetric_edges(dup_pairs: DataFrame) -> DataFrame:
+    e = dup_pairs.select(F.col("a").alias("s"), F.col("b").alias("d"))
+    return (
+        e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+
+def _edge_digest(edges: DataFrame):
+    # bit_xor digest: overflow-free under ANSI (sum of hashes throws),
+    # order-free, and rows are distinct so nothing cancels
+    return edges.agg(F.expr("bit_xor(xxhash64(s, d))")).collect()[0][0]
+
+
+def star_components(
+    dup_pairs: DataFrame,
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star (Kiveris
+    et al., "Connected Components in MapReduce and Beyond") → (node, label)
+    with ``label`` = component min — identical output contract to the
+    min-label propagation in ``near_dup_components``.
+
+    Converges in O(log n) rounds on ANY graph (vs O(diameter) for label
+    propagation), so a pathological million-hop near-dup chain costs ~20
+    rounds instead of a million. Each round is two grouped mins + two
+    equi-joins over the edge set:
+
+    - large-star: every neighbor v > u re-attaches to m(u) = min(Γ(u)∪{u});
+    - small-star: among edges oriented u > v, every v ∈ Γ⁻(u)∪{u} except
+      the min re-attaches to that min.
+
+    ``localCheckpoint`` truncates the per-round lineage; convergence is an
+    unchanged bit_xor digest of the canonical (a<b) edge set. At the joint
+    fixpoint the edges form stars: every node's min neighbor (or itself)
+    is its component label.
+    """
+    edges = _symmetric_edges(dup_pairs)
+    nodes = edges.select(F.col("s").alias("node")).distinct().localCheckpoint()
+    prev = None
+    converged = False
+    for _ in range(max_iters):
+        # large-star over the symmetric edge set: group on s, neighbors d
+        mins_l = (
+            edges.groupBy("s")
+            .agg(F.min("d").alias("_mn"))
+            .select("s", F.least(F.col("s"), F.col("_mn")).alias("_m"))
+        )
+        large = (
+            edges.join(mins_l, "s")
+            .where(F.col("d") > F.col("s"))
+            .select(F.col("d").alias("s"), F.col("_m").alias("d"))
+            .where(F.col("s") != F.col("d"))
+            .distinct()
+        )
+        sym_l = (
+            large.unionByName(large.select(F.col("d").alias("s"), F.col("s").alias("d")))
+            .distinct()
+            .localCheckpoint()
+        )
+        # small-star over edges oriented u > v: group on the larger endpoint
+        oriented = sym_l.where(F.col("s") > F.col("d"))
+        mins_s = oriented.groupBy("s").agg(F.min("d").alias("_m"))  # _m < s
+        att_nbrs = (
+            oriented.join(mins_s, "s")
+            .select(F.col("d").alias("s"), F.col("_m").alias("d"))
+            .where(F.col("s") != F.col("d"))
+        )
+        att_self = mins_s.select(F.col("s"), F.col("_m").alias("d"))
+        small = att_nbrs.unionByName(att_self).distinct()
+        edges = (
+            small.unionByName(small.select(F.col("d").alias("s"), F.col("s").alias("d")))
+            .distinct()
+            .localCheckpoint()
+        )
+        digest = _edge_digest(edges.where(F.col("s") < F.col("d")))
+        if digest == prev:
+            converged = True
+            break
+        prev = digest
+    if not converged:
+        raise RuntimeError(
+            f"star_components did not reach a fixpoint in {max_iters} rounds"
+        )
+    direct = (
+        edges.groupBy("s")
+        .agg(F.min("d").alias("_mn"))
+        .select("s", F.least(F.col("s"), F.col("_mn")).alias("label"))
+    )
+    # nodes can only leave the edge set once their whole component is a
+    # star rooted elsewhere — re-attach any absentee to itself (safe: the
+    # star ops preserve connectivity, so absentees are roots)
+    return (
+        nodes.join(direct.select(F.col("s").alias("node"), "label"), "node", "left")
+        .select("node", F.coalesce("label", "node").alias("label"))
+    )
+
+
 def near_dup_components(
     dup_pairs: DataFrame,
     max_iters: int = 25,
+    algorithm: str = "auto",
+    star_max_iters: int = 50,
 ) -> DataFrame:
-    """Connected components over near-dup pairs (columns ``a``, ``b``) by
-    min-id label propagation to fixpoint → (node, label) where ``label`` is
-    the smallest id reachable from ``node``.
+    """Connected components over near-dup pairs (columns ``a``, ``b``) →
+    (node, label) where ``label`` is the smallest id reachable from
+    ``node``.
 
-    Each round: every node takes min(own label, neighbors' labels) — one
-    equi-join + one hash aggregation, converging in O(component diameter)
-    rounds. Near-dup graphs are almost-cliques (LSH+verify edges), so the
-    diameter is tiny; for adversarially long chains switch to alternating
-    large-star/small-star (O(log n) rounds) — same loop skeleton.
+    ``algorithm``:
+
+    - ``"label"``: min-id label propagation — each round every node takes
+      min(own label, neighbors' labels): one equi-join + one hash
+      aggregation, converging in O(component diameter) rounds. Near-dup
+      graphs are almost-cliques (LSH+verify edges), so the diameter is
+      tiny and this is the cheapest path. Raises after ``max_iters``.
+    - ``"star"``: alternating large-star/small-star (``star_components``),
+      O(log n) rounds on any graph — the right tool for adversarially long
+      chains.
+    - ``"auto"`` (default): label propagation first; if the diameter
+      exceeds ``max_iters`` it falls back to star contraction instead of
+      raising (pathological graphs converge instead of killing the
+      pipeline).
+
     ``localCheckpoint`` truncates the lineage each round (an iterative plan
     otherwise grows exponentially), and convergence is detected by a
     content hash of the label set (labels only ever decrease, so an
     unchanged hash means a fixpoint).
     """
-    e = dup_pairs.select(F.col("a").alias("s"), F.col("b").alias("d"))
-    edges = (
-        e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
-        .distinct()
-        .localCheckpoint()
-    )
+    if algorithm not in ("label", "star", "auto"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    if algorithm == "star":
+        return star_components(dup_pairs, max_iters=star_max_iters)
+    edges = _symmetric_edges(dup_pairs)
     labels = (
         edges.select(F.col("s").alias("node")).distinct().withColumn("label", F.col("node"))
     )
@@ -448,17 +559,19 @@ def near_dup_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        # bit_xor digest: overflow-free under ANSI (sum of hashes throws),
-        # order-free, and (node,label) rows are unique so nothing cancels
         digest = labels.agg(F.expr("bit_xor(xxhash64(node, label))")).collect()[0][0]
         if digest == prev:
             converged = True
             break
         prev = digest
     if not converged:
+        if algorithm == "auto":
+            # component diameter exceeds the label-propagation budget —
+            # switch to the O(log n) star contraction from the original
+            # edges (partial labels are discarded; correctness first)
+            return star_components(dup_pairs, max_iters=star_max_iters)
         # non-converged labels silently under-merge duplicate clusters —
-        # fail loudly instead (a 25-hop near-dup CHAIN is pathological;
-        # raise max_iters or switch to large-star/small-star)
+        # fail loudly instead
         raise RuntimeError(
             f"near_dup_components did not reach a fixpoint in {max_iters} "
             "rounds — component diameter exceeds max_iters"
@@ -471,6 +584,9 @@ def near_dedup_representatives(
     dup_pairs: DataFrame,
     id_col: str = "doc_id",
     transitive: bool = True,
+    max_iters: int = 25,
+    algorithm: str = "auto",
+    star_max_iters: int = 50,
 ) -> DataFrame:
     """Pick survivors given near-dup pairs: each connected component of the
     pair graph keeps exactly its min-id member (transitive closure — a
@@ -478,11 +594,19 @@ def near_dedup_representatives(
     reference analog is the ``insert ignore`` key-dedup closure
     (``/root/reference/pyPPI/sqls/createInterface.sql:7``).
 
+    ``max_iters``/``algorithm``/``star_max_iters`` pass through to
+    ``near_dup_components`` — with the default ``algorithm="auto"`` a
+    duplicate chain deeper than ``max_iters`` falls back to the O(log n)
+    star contraction instead of raising.
+
     ``transitive=False`` restores the cheaper pair-loser rule (drop every
     doc appearing as the larger id of a pair) — exact only when clusters
     are cliques."""
     if transitive:
-        comp = near_dup_components(dup_pairs)
+        comp = near_dup_components(
+            dup_pairs, max_iters=max_iters, algorithm=algorithm,
+            star_max_iters=star_max_iters,
+        )
         losers = comp.where(F.col("node") != F.col("label")).select(
             F.col("node").alias(id_col)
         )

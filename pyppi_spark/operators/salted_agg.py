@@ -40,9 +40,22 @@ def salted_agg(
     shuffle key means a map task recomputed after a fetch failure re-salts
     its rows differently, and reducers combine stale and fresh partials
     (the SPARK-23207 failure class). Content salting is retry-stable and
-    keeps the repo invariant that everything is seeded. Fully identical
-    rows share a salt — acceptable: the hot keys that need spreading are
-    hot because of *many distinct* rows.
+    keeps the repo invariant that everything is seeded.
+
+    Two documented limits of content salting (both raise or are stated here
+    rather than failing silently):
+
+    - **count(*)-only aggregations** (no value column read) raise
+      ``ValueError`` — the default salt would be a pure function of the
+      group keys, i.e. constant per hot key: an extra shuffle with zero
+      spreading. BEHAVIOR CHANGE vs the round-1 rand()-salted form, which
+      accepted them (unsafely, per SPARK-23207). Pass ``salt_cols`` with a
+      row-distinguishing column (any unique id) to salt a pure count.
+    - **exact-duplicate rows share a salt.** A key that is hot because one
+      identical row repeats billions of times still lands on one reducer.
+      That shape is better served upstream (dedup + a count column, or a
+      pre-aggregation keyed on the full row); hot keys in practice are hot
+      because of many *distinct* rows, which content salt spreads evenly.
 
     Example::
 

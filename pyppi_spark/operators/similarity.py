@@ -245,14 +245,40 @@ def train_centroids_from_file(
     """Train the IVF coarse quantizer as a PURE FUNCTION of a parquet file
     (pyarrow + numpy, no Spark session) — used where the quantizer must be
     reproducible outside the engine (e.g. to pin centroid literals into a
-    SQL oracle). Sampling: rows ordered by md5 of the id, first N."""
+    SQL oracle). Sampling: rows ordered by md5 of the id, first N.
+
+    The selection is a BOUNDED single pass: record batches stream through a
+    size-``sample_rows`` max-heap keyed on (md5(seed|id), file_row_index) —
+    O(sample_rows) memory regardless of table size (a full ``to_pandas()``
+    here would be an unbounded driver materialization, the exact hazard the
+    Spark-side trainer avoids). The tie-break on the file row index makes
+    the result identical to a stable sort of the whole table by the md5 key
+    truncated to ``sample_rows``."""
     import hashlib
+    import heapq
     import pyarrow.parquet as pq
 
-    t = pq.read_table(path, columns=[id_col, vec_col]).to_pandas()
-    order = t[id_col].map(lambda x: hashlib.md5(f"{seed}|{x}".encode()).hexdigest())
-    t = t.loc[order.sort_values(kind="mergesort").index]
-    V = np.stack(t[vec_col].to_numpy()[:sample_rows]).astype(np.float64)
+    # python heapq is a min-heap; to evict the LARGEST retained key we heap
+    # on an order-inverted image of (hex_key, row_idx): each hex char maps
+    # to 15-minus-its-value (so string order flips) and the index negates
+    heap: list[tuple] = []
+    inv = str.maketrans("0123456789abcdef", "fedcba9876543210")
+    row_idx = 0
+    pf = pq.ParquetFile(path)
+    for batch in pf.iter_batches(columns=[id_col, vec_col], batch_size=8192):
+        ids = batch.column(id_col).to_pylist()
+        vecs = batch.column(vec_col).to_pylist()
+        for x, v in zip(ids, vecs):
+            key = hashlib.md5(f"{seed}|{x}".encode()).hexdigest()
+            # max-heap via inverted key: heap[0] is the LARGEST (key, idx)
+            item = (key.translate(inv), -row_idx, key, row_idx, v)
+            if len(heap) < sample_rows:
+                heapq.heappush(heap, item)
+            elif (key, row_idx) < (heap[0][2], heap[0][3]):
+                heapq.heapreplace(heap, item)
+            row_idx += 1
+    selected = sorted(heap, key=lambda it: (it[2], it[3]))
+    V = np.array([it[4] for it in selected], dtype=np.float64)
     return _kmeans(V, n_centroids, iters, seed)
 
 

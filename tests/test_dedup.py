@@ -150,3 +150,56 @@ def test_winnow_guarantee_property(spark):
     by_doc = fp.groupby("doc_id")["fingerprint"].apply(set)
     for i in range(12):
         assert by_doc[2 * i] & by_doc[2 * i + 1], f"pair {i} shares no fingerprint"
+
+
+def test_star_components_100_node_chain(spark):
+    """Large-star/small-star converges on a 100-node path graph in O(log n)
+    rounds — the adversarial shape where min-label propagation needs 100."""
+    from pyppi_spark.operators.dedup import star_components
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(99)], "a long, b long")
+    comp = {r.node: r.label for r in star_components(pairs, max_iters=20).collect()}
+    assert set(comp.values()) == {0} and len(comp) == 100
+
+
+def test_star_equals_label_propagation(spark):
+    """Both component algorithms produce identical (node, label) sets on a
+    mixed graph: two chains, a clique, a singleton edge, string ids."""
+    from pyppi_spark.operators.dedup import near_dup_components, star_components
+
+    edges = (
+        [(f"d{i:02d}", f"d{i + 1:02d}") for i in range(5)]          # chain
+        + [(f"x{a}", f"x{b}") for a in "abc" for b in "bcd" if a < b]  # clique-ish
+        + [("solo1", "solo2")]
+    )
+    pairs = spark.createDataFrame(edges, "a string, b string")
+    by_label = {(r.node, r.label) for r in near_dup_components(pairs, algorithm="label").collect()}
+    by_star = {(r.node, r.label) for r in star_components(pairs).collect()}
+    assert by_label == by_star
+
+
+def test_auto_falls_back_to_star_on_deep_chain(spark):
+    """algorithm='auto' with a tiny label budget must converge via the star
+    fallback instead of raising (the round-2 behavior)."""
+    import pytest
+    from pyppi_spark.operators.dedup import near_dup_components
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(40)], "a long, b long")
+    comp = {r.node: r.label for r in near_dup_components(pairs, max_iters=3).collect()}
+    assert set(comp.values()) == {0} and len(comp) == 41
+    # explicit algorithm='label' keeps the loud failure contract
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        near_dup_components(pairs, max_iters=3, algorithm="label")
+
+
+def test_representatives_passthrough_deep_chain(spark):
+    """The public near_dedup_representatives API survives a chain deeper
+    than max_iters (the ADVICE gap: no knob, hard RuntimeError)."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(50)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(40)], "a long, b long")
+    kept = sorted(
+        r.doc_id for r in near_dedup_representatives(docs, pairs, max_iters=3).collect()
+    )
+    assert kept == [0] + list(range(41, 50))
