@@ -798,11 +798,20 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash document fingerprints (MOSS scheme) — the
-    fingerprint set per document, portable hash for the oracle."""
-    from pyppi_spark.operators.dedup import winnow_fingerprints
+    fingerprint set per document, portable hash for the oracle. Runs the
+    zero-shuffle mapInPandas kernel (fingerprinting is doc-local); the
+    relational formulation is the tested cross-check
+    (tests/test_dedup.py::test_winnow_kernel_equals_relational)."""
+    from pyppi_spark.operators.dedup import winnow_fingerprints_kernel
 
     docs = _documents(spark, sf_dir)
-    return winnow_fingerprints(docs, k=7, window=4, hash_mode="portable")
+    return winnow_fingerprints_kernel(
+        docs, k=7, window=4, hash_mode="portable",
+        # testdata ships one row group per table → one scan split; spread
+        # the doc-local kernel over the cores (text shuffles once, ~1.5 MB
+        # at sf0.1 — an order of magnitude under the relational form)
+        repartition_to=spark.sparkContext.defaultParallelism,
+    )
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -303,6 +303,114 @@ def winnow_fingerprints(
     )
 
 
+def winnow_fingerprints_kernel(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 7,
+    window: int = 4,
+    hash_mode: str = "portable",
+    repartition_to: int | None = None,
+) -> DataFrame:
+    """Winnowing fingerprints via a doc-local ``mapInPandas`` kernel — the
+    scale formulation (fingerprinting has zero cross-row dependence, so no
+    row should ever shuffle): the normalized text crosses Arrow once, the
+    per-character work happens in numpy, and only the per-doc DISTINCT
+    (id, fingerprint) rows come back. The relational formulation
+    (``winnow_fingerprints``) shuffles one row per CHARACTER — 13.8 MB and
+    the heaviest exchange of all headline queries at sf0.1, a dominant cost
+    at 100 TB of text; this kernel's plan has NO exchange at all
+    (tests assert the two agree value-for-value in portable mode).
+
+    ``hash_mode="portable"``: md5-prefix gram hash, bit-identical to the
+    relational portable mode and to the DuckDB oracle (hashlib per gram —
+    cryptographic, so the per-gram digest dominates; still ~5× the
+    relational plan's throughput because nothing shuffles).
+    ``hash_mode="fast"``: vectorized uint64 polynomial rolling hash over
+    code points — the production path, O(n) numpy per doc, no Python-level
+    per-gram work. NOTE: fast-mode fingerprint VALUES differ from the
+    relational fast mode (xxhash64 of the gram string); the selection
+    positions and the winnowing guarantee are identical.
+
+    Semantics pinned to ``winnow_fingerprints``: suffix windows shrink
+    (every gram position starts a window); documents shorter than ``k``
+    chars (including empty) contribute their whole text as one gram.
+    Sliding-min is O(n·window) via a strided view — fine for MOSS-scale
+    windows (4-16); swap in a monotonic-deque pass if window grows large.
+
+    ``repartition_to``: opt-in round-robin repartition of the (id, text)
+    projection before the kernel, for when the at-rest layout under-splits
+    (the sf0.1 testdata is ONE parquet row group → one task no matter the
+    core count). The shuffle carries each document's text exactly once
+    (bytes ≈ corpus size — ~1.5 MB at sf0.1, vs the relational form's
+    13.8 MB of per-character rows). At production scale the scan already
+    yields enough splits; leave ``None`` for a zero-exchange plan.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    if hash_mode not in ("portable", "fast"):
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    id_type = df.schema[id_col].dataType.simpleString()
+    staged = df.select(F.col(id_col).alias("_id"), _normalize(F.col(text_col)).alias("_t"))
+    if repartition_to:
+        staged = staged.repartition(repartition_to)
+
+    B = np.uint64(1099511628211)  # FNV-1a prime as the polynomial base
+
+    def _sliding_min(h: np.ndarray, w: int) -> np.ndarray:
+        n = len(h)
+        if n <= w:
+            return np.minimum.accumulate(h[::-1])[::-1]
+        full = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+        tail = np.minimum.accumulate(h[n - w + 1:][::-1])[::-1]
+        return np.concatenate([full, tail])
+
+    def kernel(batches):
+        md5, from_bytes = hashlib.md5, int.from_bytes
+        for b in batches:
+            ids, fps = [], []
+            for doc_id, t in zip(b["_id"], b["_t"]):
+                t = t or ""
+                if hash_mode == "portable":
+                    # md5 hashes BYTES: encode once; for pure-ASCII text
+                    # (the common case) byte offsets equal char offsets so
+                    # grams slice the bytes directly — no per-gram encode
+                    tb = t.encode()
+                    if len(t) < k:
+                        grams = [tb]
+                    elif len(tb) == len(t):
+                        grams = [tb[i:i + k] for i in range(len(tb) - k + 1)]
+                    else:
+                        grams = [t[i:i + k].encode() for i in range(len(t) - k + 1)]
+                    h = np.fromiter(
+                        (from_bytes(md5(g).digest()[:4], "big") for g in grams),
+                        dtype=np.int64,
+                        count=len(grams),
+                    )
+                else:
+                    cps = np.fromiter(map(ord, t), dtype=np.uint64, count=len(t))
+                    if len(t) < k:
+                        pw = B ** np.arange(len(t) - 1, -1, -1, dtype=np.uint64)
+                        h = np.array([(cps * pw).sum()], dtype=np.uint64).view(np.int64)
+                    else:
+                        sw = np.lib.stride_tricks.sliding_window_view(cps, k)
+                        pw = B ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+                        h = (sw * pw).sum(axis=1).view(np.int64)
+                sel = np.unique(_sliding_min(h, window))
+                ids.extend([doc_id] * len(sel))
+                fps.append(sel)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "fingerprint": np.concatenate(fps) if fps else np.array([], dtype=np.int64),
+                }
+            )
+
+    return staged.mapInPandas(kernel, schema=f"{id_col} {id_type}, fingerprint long")
+
+
 def simhash_portable32(
     df: DataFrame,
     text_col: str = "text",

@@ -203,3 +203,51 @@ def test_representatives_passthrough_deep_chain(spark):
         r.doc_id for r in near_dedup_representatives(docs, pairs, max_iters=3).collect()
     )
     assert kept == [0] + list(range(41, 50))
+
+
+def test_winnow_kernel_equals_relational(spark):
+    """The zero-shuffle mapInPandas winnowing kernel must reproduce the
+    relational formulation's (doc, fingerprint) set bit-for-bit in portable
+    mode — including short, empty, multi-space, and unicode docs."""
+    from pyppi_spark.operators.dedup import winnow_fingerprints, winnow_fingerprints_kernel
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog near the river"),
+        (1, "the quick brown fox jumps over the lazy cat near the river"),
+        (2, ""),            # empty
+        (3, "ab"),          # shorter than k
+        (4, "exactly7"),    # length k
+        (5, "  Mixed   CASE and   runs of  spaces  "),
+        (6, "naïve café über 文字列のテスト with unicode"),
+        (7, "x" * 200),     # constant run → one distinct fingerprint
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    rel = {
+        (r.doc_id, r.fingerprint)
+        for r in winnow_fingerprints(docs, k=7, window=4, hash_mode="portable").collect()
+    }
+    ker = {
+        (r.doc_id, r.fingerprint)
+        for r in winnow_fingerprints_kernel(docs, k=7, window=4, hash_mode="portable").collect()
+    }
+    assert rel == ker and len(ker) > 0
+
+
+def test_winnow_kernel_fast_guarantee_and_no_shuffle(spark):
+    """Fast mode (uint64 polynomial rolling hash) keeps the winnowing
+    guarantee — shared substrings >= k+window-1 share a fingerprint — and
+    the kernel's physical plan contains NO exchange."""
+    from pyppi_spark.operators.dedup import winnow_fingerprints_kernel
+
+    shared = "the quick brown fox jumps over"
+    docs = spark.createDataFrame(
+        [(0, f"AAAA {shared} BBBB"), (1, f"CCCCCC {shared} DDDD")],
+        "doc_id long, text string",
+    )
+    out = winnow_fingerprints_kernel(docs, k=7, window=4, hash_mode="fast")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    fp = out.toPandas()
+    s0 = set(fp[fp.doc_id == 0].fingerprint)
+    s1 = set(fp[fp.doc_id == 1].fingerprint)
+    assert s0 & s1
