@@ -250,6 +250,47 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ASOF_TOLERANCE_S = 900.0
+
+
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 band-limited PIT join: latest click at-or-before each error, but
+    only within 900 s — stale matches become nulls (the reference's
+    distance-BOUNDED nearest probe, NEIGHBOR_DISTANCE at
+    /root/reference/pyPPI/pdbReader.py:134-143; pd.merge_asof tolerance)."""
+    ev = _events(spark, sf_dir)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by("value", "event_id").alias("value"),
+            F.max("event_id").alias("click_event_id"),
+        )
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("error_id")
+    )
+    out = asof_join(
+        errors,
+        clicks,
+        probe_ts="ts",
+        build_ts="ts",
+        by=("user_id",),
+        payload=["value", "click_event_id"],
+        inclusive=True,
+        tiebreak="click_event_id",
+        prefix="last_click_",
+        tolerance=ASOF_TOLERANCE_S,
+    )
+    return out.select(
+        "user_id",
+        _us("ts").alias("error_ts_us"),
+        "error_id",
+        F.round("last_click_value", 6).alias("last_click_value"),
+        F.col("last_click_click_event_id").alias("last_click_event_id"),
+    )
+
+
 def q_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3-A7 per-entity feature vector: counts by type, directed type-bigram
     transition counts (J12/A5 analog), latency aggregates, session count."""
@@ -874,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "asof_forward": q_asof_forward,
         "asof_nearest": q_asof_nearest,
+        "asof_tolerance": q_asof_tolerance,
         "user_features": q_user_features,
         "range_join": q_range_join,
         "equi_join": q_equi_join,
@@ -1242,6 +1284,22 @@ SELECT user_id, epoch_us(ts) AS purchase_ts_us, purchase_id,
        round(CASE WHEN take_fwd THEN fvalue ELSE bvalue END, 6) AS near_click_value,
        CASE WHEN take_fwd THEN fid ELSE bid END AS near_click_id
 FROM picked
+""",
+        "asof_tolerance": """
+WITH clicks AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS value, max(event_id) AS click_event_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), errors AS (
+  SELECT user_id, ts, event_id AS error_id FROM events WHERE event_type = 'error'
+), m AS (
+  SELECT e.user_id, e.ts, e.error_id, c.ts AS cts, c.value, c.click_event_id,
+         (epoch_us(e.ts) - epoch_us(c.ts)) <= 900.0 * 1e6 AS in_band
+  FROM errors e ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts >= c.ts
+)
+SELECT user_id, epoch_us(ts) AS error_ts_us, error_id,
+       round(CASE WHEN in_band THEN value END, 6) AS last_click_value,
+       CASE WHEN in_band THEN click_event_id END AS last_click_event_id
+FROM m
 """,
         "user_features": _user_features_sql(),
         "range_join": """

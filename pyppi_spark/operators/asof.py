@@ -60,6 +60,16 @@ def _ts_numeric(col: F.Column, dtype) -> F.Column:
     return col.cast("double")
 
 
+def _tolerance_numeric(tolerance: float, dtype) -> float:
+    """Tolerance in the ordering column's numeric image: seconds → µs for
+    temporal axes (matching ``_ts_numeric``), pass-through for numerics."""
+    import pyspark.sql.types as T
+
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return float(tolerance) * 1e6
+    return float(tolerance)
+
+
 def asof_join_union(
     probe: DataFrame,
     build: DataFrame,
@@ -71,6 +81,7 @@ def asof_join_union(
     tiebreak: str | None = "turn_idx",
     prefix: str = "matched_",
     direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
     """``direction``: ``backward`` (last build row at-or-before, the PIT
     default), ``forward`` (first build row at-or-after — the mirror, via
@@ -83,7 +94,16 @@ def asof_join_union(
     max tiebreak, forward: min tiebreak). ``inclusive`` governs exact-ts
     matches in both directions at once. Physical shape: still ONE shuffle —
     both direction windows share the entity-key partitioning (two sorts
-    over one exchange)."""
+    over one exchange).
+
+    ``tolerance``: maximum |probe_ts − build.ts| for a match — in SECONDS
+    when the time axis is temporal, else in the column's own units (the
+    band-limited nearest of ``pd.merge_asof(tolerance=...)`` and of the
+    reference's distance-bounded probe, ``NEIGHBOR_DISTANCE`` at
+    ``/root/reference/pyPPI/pdbReader.py:134-143``). Out-of-band probes get
+    nulls. Applied AFTER direction selection, which is equivalent to
+    pre-filtering: the selected match has the minimal |Δt| of its
+    direction(s), so if it is out of band every alternative is too."""
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction {direction!r}")
     by = list(by)
@@ -159,6 +179,11 @@ def asof_join_union(
             & ((F.col("_mf._bt") - pt) < (pt - F.col("_mb._bt")))
         )
         u = u.withColumn("_m", F.when(take_fwd, F.col("_mf")).otherwise(F.col("_mb")))
+    if tolerance is not None:
+        tol = _tolerance_numeric(tolerance, probe.schema[probe_ts].dataType)
+        pt_num = _ts_numeric(F.col("_t"), probe.schema[probe_ts].dataType)
+        in_band = F.abs(F.col("_m._bt") - pt_num) <= F.lit(tol)
+        u = u.withColumn("_m", F.when(F.col("_m").isNotNull() & in_band, F.col("_m")))
     out = u.where(F.col("_is_probe"))
     return out.select(
         *by,
@@ -179,6 +204,7 @@ def asof_join_merge(
     tiebreak: str | None = "turn_idx",
     prefix: str = "matched_",
     direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
     by = list(by)
     payload = list(payload) if payload is not None else _default_payload(build, by, build_ts, tiebreak)
@@ -238,6 +264,20 @@ def asof_join_merge(
                 direction=direction,
                 allow_exact_matches=inclusive,
             )
+        if tolerance is not None:
+            # same post-selection banding as the union form (provably equal
+            # to pre-filtering — the selected match minimizes |Δt|)
+            bt, pt = m[build_ts], m[probe_ts].reset_index(drop=True)
+            bt = bt.reset_index(drop=True)
+            m = m.reset_index(drop=True)
+            if str(pt.dtype).startswith("datetime"):
+                out_of_band = bt.notna() & ((bt - pt).abs() > pd.Timedelta(seconds=tolerance))
+            else:
+                out_of_band = bt.notna() & ((bt - pt).abs() > tolerance)
+            for c in list(dict.fromkeys([build_ts] + out_payload)):
+                # .where → NaN/NaT, the same no-match representation
+                # merge_asof itself produces for unmatched probes
+                m[c] = m[c].where(~out_of_band)
         if build_ts != probe_ts and build_ts in m.columns and build_ts not in out_names:
             m = m.drop(columns=[build_ts])
         return m[out_names]

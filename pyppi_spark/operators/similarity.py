@@ -388,6 +388,7 @@ def threshold_pairs_exact(
     vec_col: str = "embedding",
     dim: int = 64,
     guard: float = 1e-6,
+    n_blocks: int = 1,
 ) -> DataFrame:
     """EXACT all-pairs cosine threshold join (a < b), two-phase:
 
@@ -408,40 +409,70 @@ def threshold_pairs_exact(
     predicate, so no false pair survives either — the output equals the
     brute-force join exactly.
 
-    Scale contract: the matrix side must fit in executor memory (same
-    contract as a broadcast hash join's build side). For larger sets, block
-    the matrix side or use ``embedding_neardup_pairs`` (LSH).
+    Scale contract: driver and executors hold ``ceil(N / n_blocks)`` matrix
+    rows at a time. ``n_blocks=1`` broadcasts the whole set (the broadcast
+    hash join contract — one prune job); ``n_blocks>1`` partitions the
+    matrix side by a deterministic id hash and runs one prune pass per
+    block SEQUENTIALLY — each pass materializes its survivors (eager
+    ``localCheckpoint``) and destroys its broadcast before the next loads,
+    so peak memory is one block regardless of N while exactness is
+    preserved (blocks partition the matrix side: every (a, b) pair is
+    scored in exactly the one pass owning b). Wall cost is unchanged
+    O(n²·d) flops + n_blocks job launches; pick
+    ``n_blocks ≈ N·d·8 / executor_mem``. For sets where even O(n²)
+    *scoring* is too much, switch to ``embedding_neardup_pairs`` (LSH).
     """
     import pandas as pd
 
+    if n_blocks < 1:
+        raise ValueError("n_blocks must be >= 1")
+    spark = df.sparkSession
     id_type = df.schema[id_col].dataType.simpleString()
     side = df.select(F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v"))
-    pdf = side.toPandas()  # the broadcast matrix side (bounded by contract)
-    if not len(pdf):
-        return df.sparkSession.createDataFrame(
-            [], f"a {id_type}, b {id_type}, cos_sim double"
-        )
-    ids = pdf["_id"].to_numpy()
-    M = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
-    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
     cut = threshold - guard
-    # ship the matrix as a real Spark broadcast — one copy per executor,
-    # not re-pickled into every task closure
-    bc = df.sparkSession.sparkContext.broadcast((ids, Mn))
+    cand_schema = f"a {id_type}, b {id_type}"
 
-    def prune(batches):
-        b_ids, b_Mn = bc.value
-        for b in batches:
-            if not len(b):
-                continue
-            A = np.stack(b["_v"].to_numpy()).astype(np.float64)
-            An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
-            S = An @ b_Mn.T
-            ai, bi = np.nonzero(S >= cut)
-            out = pd.DataFrame({"a": b["_id"].to_numpy()[ai], "b": b_ids[bi]})
-            yield out[out.a < out.b]
+    def make_prune(bc):
+        def prune(batches):
+            b_ids, b_Mn = bc.value
+            for b in batches:
+                if not len(b):
+                    continue
+                A = np.stack(b["_v"].to_numpy()).astype(np.float64)
+                An = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-300)
+                S = An @ b_Mn.T
+                ai, bi = np.nonzero(S >= cut)
+                out = pd.DataFrame({"a": b["_id"].to_numpy()[ai], "b": b_ids[bi]})
+                yield out[out.a < out.b]
 
-    cand = side.mapInPandas(prune, schema=f"a {id_type}, b {id_type}")
+        return prune
+
+    cand = None
+    for blk in range(n_blocks):
+        block_side = (
+            side
+            if n_blocks == 1
+            else side.where(F.pmod(F.xxhash64("_id"), F.lit(n_blocks)) == blk)
+        )
+        pdf = block_side.toPandas()  # bounded: one matrix block (see contract)
+        if not len(pdf):
+            continue
+        ids = pdf["_id"].to_numpy()
+        M = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        # ship the block as a real Spark broadcast — one copy per executor,
+        # not re-pickled into every task closure
+        bc = spark.sparkContext.broadcast((ids, Mn))
+        blk_cand = side.mapInPandas(make_prune(bc), schema=cand_schema)
+        if n_blocks > 1:
+            # run this block's prune NOW and pin only its (small) survivor
+            # set, so the next block's broadcast replaces — not stacks on —
+            # this one
+            blk_cand = blk_cand.localCheckpoint(eager=True)
+            bc.destroy()
+        cand = blk_cand if cand is None else cand.unionByName(blk_cand)
+    if cand is None:
+        return spark.createDataFrame([], f"a {id_type}, b {id_type}, cos_sim double")
     va = df.select(
         F.col(id_col).alias("a"),
         _as_double(vec_col).alias("_va"),

@@ -219,3 +219,72 @@ def test_nearest_union_matches_merge(spark, tiny_df, probes_df, inclusive):
         .toPandas().sort_values("probe_id").reset_index(drop=True)
     )
     assert a["matched_turn_idx"].fillna(-1).tolist() == b["matched_turn_idx"].fillna(-1).tolist()
+
+
+@pytest.mark.parametrize("strategy", ["union", "merge"])
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_tolerance_boundaries(spark, strategy, direction):
+    """Band-limited matching: |Δt| == tolerance stays matched (inclusive
+    band, the pd.merge_asof contract); one µs beyond is null. Exercised in
+    all three directions with on-boundary, in-band, and out-of-band
+    probes."""
+    build = spark.createDataFrame(
+        pd.DataFrame(
+            [("c", 0, "user", "at100", None, t(100))],
+            columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+        ),
+        schema=TRANSCRIPTS,
+    )
+    probes = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                ("c", t(100), "exact"),        # Δt = 0
+                ("c", t(105), "in_band_b"),    # 5 s after build
+                ("c", t(110), "boundary_b"),   # exactly tol after build
+                ("c", t(110.000001), "out_b"), # 1 µs beyond
+                ("c", t(95), "in_band_f"),     # 5 s before build
+                ("c", t(90), "boundary_f"),    # exactly tol before build
+                ("c", t(89.999999), "out_f"),  # 1 µs beyond
+            ],
+            columns=["conv_id", "probe_ts", "probe_id"],
+        ),
+        schema=PROBES,
+    )
+    got = asof_join(
+        probes, build, strategy=strategy, payload=["text"],
+        direction=direction, tolerance=10.0,
+    ).toPandas().set_index("probe_id")["matched_text"]
+    backward_visible = {"exact", "in_band_b", "boundary_b"}
+    forward_visible = {"exact", "in_band_f", "boundary_f"}
+    expect = {
+        "backward": backward_visible,
+        "forward": forward_visible,
+        "nearest": backward_visible | forward_visible,
+    }[direction]
+    for pid in got.index:
+        if pid in expect:
+            assert got[pid] == "at100", f"{pid} should match within band"
+        else:
+            assert got[pid] is None or pd.isna(got[pid]), f"{pid} must be out of band"
+
+
+@pytest.mark.parametrize("inclusive", [True, False])
+def test_tolerance_union_matches_merge(spark, tiny_df, probes_df, inclusive):
+    for direction in ["backward", "forward", "nearest"]:
+        u = asof_join(
+            probes_df, tiny_df, strategy="union", payload=PAYLOAD,
+            direction=direction, inclusive=inclusive, tolerance=45.0,
+        ).toPandas()
+        m = asof_join(
+            probes_df, tiny_df, strategy="merge", payload=PAYLOAD,
+            direction=direction, inclusive=inclusive, tolerance=45.0,
+        ).toPandas()
+        _cmp(u, m)
+        # the band must actually bite on this fixture, else the test is vacuous
+        assert u["matched_text"].isna().any(), f"{direction}: tolerance never applied"
+
+
+def test_reserved_payload_name_rejected(spark, tiny_df, probes_df):
+    bad = tiny_df.withColumn("_bt", tiny_df.turn_idx)
+    with pytest.raises(ValueError, match="reserve"):
+        asof_join(probes_df, bad, payload=["text", "_bt"])

@@ -96,3 +96,29 @@ def test_threshold_pairs_exact_equals_brute_force(spark, vecs):
     assert len(g) == len(w) and len(g) >= 5  # the 5 planted near-dups qualify
     assert (g.a == w.a).all() and (g.b == w.b).all()
     assert (g.cos_sim == w.cos_sim).all()  # bitwise: same sequential order
+
+
+def test_threshold_pairs_blocked_equals_single(spark, vecs):
+    """n_blocks > 1 partitions the matrix side into per-pass broadcasts
+    (bounded memory) — the output must be IDENTICAL to the single-broadcast
+    form: same pairs, bitwise-same cos values. Block count deliberately
+    exceeds nothing-special divisors (rows % 3 != 0) and one block can be
+    near-empty."""
+    from pyppi_spark.operators.similarity import threshold_pairs_exact
+
+    one = threshold_pairs_exact(vecs, threshold=0.9, dim=DIM).toPandas()
+    for nb in (3, 8):
+        blk = threshold_pairs_exact(vecs, threshold=0.9, dim=DIM, n_blocks=nb).toPandas()
+        g = one.sort_values(["a", "b"]).reset_index(drop=True)
+        w = blk.sort_values(["a", "b"]).reset_index(drop=True)
+        assert len(g) == len(w) and len(g) >= 5
+        assert (g.a == w.a).all() and (g.b == w.b).all()
+        assert (g.cos_sim == w.cos_sim).all()
+
+
+def test_threshold_pairs_blocked_empty(spark):
+    from pyppi_spark.operators.similarity import threshold_pairs_exact
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = threshold_pairs_exact(empty, threshold=0.5, dim=4, n_blocks=4)
+    assert out.count() == 0 and out.columns == ["a", "b", "cos_sim"]
