@@ -291,6 +291,26 @@ def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 via the engine's SECOND sessionization definition: the built-in
+    ``session_window`` aggregation (the batch form of the streaming
+    surface, §2.10). The oracle is the cumsum definition's session
+    aggregates — putting the standing two-definition cross-check under the
+    driver's hard gate (merge-on-touch == strictly-greater boundary)."""
+    from pyppi_spark.streaming.sessions import session_window_aggregates
+
+    ev = _events(spark, sf_dir)
+    out = session_window_aggregates(
+        ev, gap_s=SESSION_GAP_S, conv_col="user_id", ts_col="ts"
+    )
+    return out.select(
+        "user_id",
+        _us("session_start").alias("session_start_us"),
+        _us("session_end").alias("session_end_us"),
+        "session_len",
+    )
+
+
 def q_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3-A7 per-entity feature vector: counts by type, directed type-bigram
     transition counts (J12/A5 analog), latency aggregates, session count."""
@@ -910,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pit_features": q_pit_features,
         "sessionize": q_sessionize,
+        "session_window_agg": q_session_window_agg,
         "lag_lead": q_lag_lead,
         "backfill": q_backfill,
         "asof_join": q_asof_join,
@@ -1215,6 +1236,18 @@ FROM probes p ASOF LEFT JOIN state s ON p.user_id = s.user_id AND p.ts >= s.ts
         "sessionize": _SESSION_CTE
         + """
 SELECT user_id, session_id,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) AS session_end_us,
+       count(*)::BIGINT AS session_len
+FROM sessioned
+GROUP BY user_id, session_id
+""",
+        # ground truth for session_window is the OTHER sessionization
+        # definition (cumsum over gap > threshold) — their agreement is the
+        # point of the query
+        "session_window_agg": _SESSION_CTE
+        + """
+SELECT user_id,
        epoch_us(min(ts)) AS session_start_us,
        epoch_us(max(ts)) AS session_end_us,
        count(*)::BIGINT AS session_len

@@ -134,11 +134,14 @@ def run_with_checkpoints(
     SINGLE-PASS resume: every pending bucket is computed in ONE Spark job —
     one input scan filtered to ``_bucket IN pending`` (bucket/partition
     pruning when the input is bucket-partitioned at rest), one dynamic-
-    partition-overwrite write (idempotent on retry), one read-back of just
-    the written partitions for per-bucket row counts (columnar count, no
-    recompute), one batched ledger append. The previous shape — one job per
-    bucket — re-scanned the full input n_buckets times (O(n_buckets × scan)
-    at 100 TB) and re-read the whole output per bucket.
+    partition-overwrite write (idempotent on retry), one batched ledger
+    append. Per-bucket row counts ride on the WRITE itself via
+    ``df.observe`` (one conditional-count accumulator per pending bucket —
+    zero post-write reads; the earlier shape re-read the written output
+    once, and before that once per bucket). Accumulator width is bounded:
+    beyond 4096 pending buckets the counts fall back to one columnar
+    read-back of the written partitions (still a single scan of counts-only
+    metadata, no recompute).
 
     Contract: ``transform`` must be entity-local (rows of different
     ``conv_col`` values never interact — true of every per-conversation
@@ -154,22 +157,40 @@ def run_with_checkpoints(
     pending = [b for b in range(n_buckets) if b not in done]
     batch = pending[:fail_after] if fail_after is not None else pending
     if batch:
+        from pyspark.sql import Observation
+
         t0 = time.perf_counter()
         part = inputs.where(
             bucket_of(conv_col, n_buckets).isin([int(b) for b in batch])
         )
         out = transform(part).withColumn("_bucket", bucket_of(conv_col, n_buckets))
+        obs = None
+        if len(batch) <= 4096:
+            obs = Observation(f"ckpt_{run_id}")
+            out = out.observe(
+                obs,
+                *[
+                    F.sum(
+                        F.when(F.col("_bucket") == int(b), 1).otherwise(0)
+                    ).alias(f"b{b}")
+                    for b in batch
+                ],
+            )
         out.write.mode("overwrite").partitionBy("_bucket").option(
             "partitionOverwriteMode", "dynamic"
         ).parquet(output_path)
-        counts = {
-            int(r["_bucket"]): int(r["n"])
-            for r in spark.read.parquet(output_path)
-            .where(F.col("_bucket").isin([int(b) for b in batch]))
-            .groupBy("_bucket")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        if obs is not None:
+            got = obs.get  # blocks on the finished write action
+            counts = {int(b): int(got[f"b{b}"] or 0) for b in batch}
+        else:
+            counts = {
+                int(r["_bucket"]): int(r["n"])
+                for r in spark.read.parquet(output_path)
+                .where(F.col("_bucket").isin([int(b) for b in batch]))
+                .groupBy("_bucket")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
         wall = round(time.perf_counter() - t0, 3)
         ledger.mark_many(
             run_id,

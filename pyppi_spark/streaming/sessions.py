@@ -19,20 +19,22 @@ from pyspark.sql import DataFrame, functions as F
 from ..operators.sessionize import DEFAULT_GAP_S
 
 
-def streaming_session_aggregates(
-    stream: DataFrame,
+def session_window_aggregates(
+    df: DataFrame,
     gap_s: float = DEFAULT_GAP_S,
-    watermark: str = "2 hours",
     conv_col: str = "conv_id",
     ts_col: str = "ts",
 ) -> DataFrame:
-    """Per-(conv, session) aggregates over a streaming DataFrame using the
-    built-in session window (merge-on-touch: a gap of exactly ``gap_s``
-    stays in-session, matching the batch operator's strictly-greater
-    boundary)."""
+    """Per-(conv, session) aggregates via the built-in ``session_window`` —
+    works on BATCH and streaming DataFrames alike (merge-on-touch: a gap of
+    exactly ``gap_s`` stays in-session, matching the cumsum operator's
+    strictly-greater boundary; the agreement of the two sessionization
+    definitions is under the driver's oracle gate via the
+    ``session_window_agg`` query). One shuffle on ``conv_col``; the
+    session merge happens inside the aggregation, no window-function
+    pass."""
     return (
-        stream.withWatermark(ts_col, watermark)
-        .groupBy(
+        df.groupBy(
             F.session_window(F.col(ts_col), f"{gap_s} seconds").alias("w"),
             F.col(conv_col),
         )
@@ -42,6 +44,21 @@ def streaming_session_aggregates(
             F.max(ts_col).alias("session_end"),
         )
         .select(conv_col, "session_start", "session_end", "session_len")
+    )
+
+
+def streaming_session_aggregates(
+    stream: DataFrame,
+    gap_s: float = DEFAULT_GAP_S,
+    watermark: str = "2 hours",
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming form of ``session_window_aggregates`` (adds the watermark
+    that bounds session state and drops late rows)."""
+    return session_window_aggregates(
+        stream.withWatermark(ts_col, watermark), gap_s=gap_s,
+        conv_col=conv_col, ts_col=ts_col,
     )
 
 

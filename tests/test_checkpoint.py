@@ -75,3 +75,31 @@ def test_fully_resumed_run_is_noop(spark, tiny_df, tmp_path):
     lin = lineage_id("tiny42", "v0.1.0", {})
     assert _run(spark, tiny_df, tmp, "r2", lin) == 4
     assert _run(spark, tiny_df, tmp, "r2", lin) == 0
+
+
+def test_observed_counts_match_written_partitions(spark, tiny_df, tmp_path):
+    """Per-bucket rows_out now rides on the write via df.observe (zero
+    post-write reads) — the ledger's counts must equal the actual written
+    partition sizes, including after a kill/resume split."""
+    tmp = str(tmp_path)
+    lin = lineage_id("tiny", "v1", {"case": "observe"})
+    with pytest.raises(RuntimeError):
+        _run(spark, tiny_df, tmp, "obs", lin, fail_after=1)
+    _run(spark, tiny_df, tmp, "obs", lin)
+
+    actual = {
+        int(r["_bucket"]): int(r["n"])
+        for r in spark.read.parquet(f"{tmp}/out_obs")
+        .groupBy("_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    ledger = CheckpointLedger(spark, f"{tmp}/ledger")
+    rows = (
+        ledger._read()
+        .where((F.col("run_id") == "obs") & (F.col("status") == "done"))
+        .select("partition_key", "rows_out")
+        .collect()
+    )
+    recorded = {int(r.partition_key): int(r.rows_out) for r in rows}
+    assert recorded == actual and sum(actual.values()) == conv_features(tiny_df).count()

@@ -91,3 +91,41 @@ def test_distributed_datagen_matches_driver(spark, tiny_pdf):
     for c in ["conv_id", "turn_idx", "role", "text", "tool"]:
         assert dist[c].where(dist[c].notna(), None).tolist() == drv[c].where(drv[c].notna(), None).tolist(), c
     assert (dist["ts"].astype("int64") == drv["ts"].astype("int64")).all()
+
+
+def test_conv_features_percentile_modes(spark, tiny_df):
+    """The approx-percentile production variant keeps the identical schema,
+    and its p95 is an ACTUAL group element within the exact [p90, max]
+    bracket (exact `percentile` interpolates between ranks, the KLL sketch
+    returns a real value at rank-error ≤ 1e-4 — on small groups that means
+    the true rank-⌈0.95n⌉ element)."""
+    from pyppi_spark.plans import conv_features, turn_features
+
+    exact = conv_features(tiny_df).toPandas()
+    approx = conv_features(tiny_df, percentile_mode="approx").toPandas()
+    assert list(exact.columns) == list(approx.columns)
+    e = exact.sort_values("conv_id").reset_index(drop=True)
+    a = approx.sort_values("conv_id").reset_index(drop=True)
+    assert (e.conv_id == a.conv_id).all()
+    # every other feature is identical — only latency_p95_s may differ
+    for c in exact.columns:
+        if c in ("latency_p95_s", "first_ts", "last_ts"):
+            continue
+        assert e[c].equals(a[c]), f"column {c} diverged between modes"
+
+    gaps = (
+        turn_features(tiny_df)
+        .toPandas()
+        .groupby("conv_id")["gap_prev_s"]
+        .apply(lambda s: sorted(s.dropna()))
+    )
+    import numpy as np
+
+    for cid, av, p95 in zip(a.conv_id, a.latency_p95_s, e.latency_p95_s):
+        g = gaps.get(cid, [])
+        if not g:
+            assert pd.isna(av)
+            continue
+        assert av in g, f"{cid}: approx p95 {av} is not a group element"
+        lo = np.percentile(g, 90) if len(g) > 1 else g[0]
+        assert lo <= av <= g[-1], f"{cid}: approx p95 {av} outside [p90, max]"
