@@ -31,6 +31,8 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 HEADLINE = [
     "pit_features",
     "sessionize",
+    "session_window_agg",
+    "asof_tolerance",
     "lag_lead",
     "backfill",
     "asof_join",
@@ -75,6 +77,15 @@ def shuffle_written_bytes(spark) -> int | None:
         return None
 
 
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+
+def timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     spark = build_spark(
         "bench",
@@ -91,55 +102,92 @@ def main() -> None:
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
     force(qs["sessionize"](spark, SF_DIR))
 
+    # drift control: the same fixed query timed before and after the whole
+    # sweep — this host drifts ±40% over minutes, so a large first/last
+    # ratio flags a window whose cross-round deltas are noise, not plans
+    control_first = round(timed(lambda: force(qs["sessionize"](spark, SF_DIR))), 3)
+
+    # per-query best-of-REPS + median: single-shot timings on this VM made
+    # round-over-round deltas uninterpretable (VERDICT r02 "what's wrong"
+    # #3); best-of damps host noise, the median is reported alongside so a
+    # lucky best is visible. Shuffle bytes are sampled around the first rep
+    # (identical plan each rep — bytes don't vary).
     timings: dict[str, float] = {}
+    timings_median: dict[str, float] = {}
     shuffle_mb: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
+        walls = []
         s0 = shuffle_written_bytes(spark)
-        t0 = time.perf_counter()
-        force(qs[name](spark, SF_DIR))
-        dt = time.perf_counter() - t0
+        walls.append(timed(lambda: force(qs[name](spark, SF_DIR))))
         s1 = shuffle_written_bytes(spark)
-        timings[name] = round(dt, 3)
+        for _ in range(REPS - 1):
+            walls.append(timed(lambda: force(qs[name](spark, SF_DIR))))
+        walls.sort()
+        timings[name] = round(walls[0], 3)
+        timings_median[name] = round(walls[len(walls) // 2], 3)
         if s0 is not None and s1 is not None:
             shuffle_mb[name] = round((s1 - s0) / 1e6, 2)
-        total += dt
+        total += walls[0]
 
-    # production-mode MinHash+LSH (xxhash64): the driver query uses the
-    # portable md5-prefix mode for its oracle; the fast path is what a
-    # 100 TB dedup run uses, so it is timed separately
+    # production-mode fast paths: the driver queries use portable (md5)
+    # hashing for their oracles; the xxhash64 / rolling-hash paths are what
+    # a 100 TB run uses, so they are timed separately (best-of-REPS too)
     from pyppi_spark.operators import minhash_lsh_candidates, minhash_signatures
+    from pyppi_spark.operators.dedup import winnow_fingerprints_kernel
 
     docs = entrymod._documents(spark, SF_DIR)
-    t0 = time.perf_counter()
-    force(
-        minhash_lsh_candidates(
-            minhash_signatures(docs, num_hashes=64, shingle_n=3, seed=42, hash_mode="fast"),
-            bands=16,
-            rows_per_band=4,
-        )
-    )
-    timings["minhash_lsh_fast"] = round(time.perf_counter() - t0, 3)
-    total += timings["minhash_lsh_fast"]
 
-    # flagship: full per-turn + per-conversation feature extraction
+    def fast_paths():
+        yield "minhash_lsh_fast", lambda: force(
+            minhash_lsh_candidates(
+                minhash_signatures(docs, num_hashes=64, shingle_n=3, seed=42, hash_mode="fast"),
+                bands=16,
+                rows_per_band=4,
+            )
+        )
+        yield "winnow_fast", lambda: force(
+            winnow_fingerprints_kernel(
+                docs, k=7, window=4, hash_mode="fast",
+                repartition_to=spark.sparkContext.defaultParallelism,
+            )
+        )
+
+    for name, job in fast_paths():
+        walls = sorted(timed(job) for _ in range(REPS))
+        timings[name] = round(walls[0], 3)
+        timings_median[name] = round(walls[len(walls) // 2], 3)
+        total += walls[0]
+
+    # flagship: full per-turn + per-conversation feature extraction.
+    # pipeline shape: materialize (cache) the per-turn table once, derive
+    # the per-conversation vectors from it — windows computed exactly once
     ev = entrymod._events(spark, SF_DIR)
     n_turns = ev.count()
     t = entrymod._events_as_transcripts(ev)
+
+    def feature_job(percentile_mode: str = "exact") -> None:
+        tf = turn_features(t).persist()
+        force(tf)
+        force(conv_features_from_turns(tf, percentile_mode=percentile_mode))
+        tf.unpersist()
+
     s0 = shuffle_written_bytes(spark)
-    t0 = time.perf_counter()
-    # pipeline shape: materialize (cache) the per-turn table once, derive
-    # the per-conversation vectors from it — windows computed exactly once
-    tf = turn_features(t).persist()
-    force(tf)
-    force(conv_features_from_turns(tf))
-    feat_dt = time.perf_counter() - t0
+    feat_walls = [timed(feature_job)]
     s1 = shuffle_written_bytes(spark)
-    tf.unpersist()
+    feat_walls += [timed(feature_job) for _ in range(REPS - 1)]
+    feat_walls.sort()
+    feat_dt = feat_walls[0]
     timings["feature_extraction"] = round(feat_dt, 3)
+    timings_median["feature_extraction"] = round(feat_walls[len(feat_walls) // 2], 3)
     if s0 is not None and s1 is not None:
         shuffle_mb["feature_extraction"] = round((s1 - s0) / 1e6, 2)
     total += feat_dt
+    # A/B: the approx-percentile production variant (constant agg state)
+    approx_walls = sorted(timed(lambda: feature_job("approx")) for _ in range(REPS))
+    timings["feature_extraction_approx"] = round(approx_walls[0], 3)
+
+    control_last = round(timed(lambda: force(qs["sessionize"](spark, SF_DIR))), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -149,6 +197,11 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": timings_median,
+                "control_sessionize": {"first": control_first, "last": control_last},
+                "reps": REPS,
+                "protocol": "best-of-reps per query (median alongside); "
+                "fixed control query timed first+last to expose host drift",
                 "shuffle_write_mb": shuffle_mb,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "turns": n_turns,
