@@ -926,6 +926,42 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_portable32(docs)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-doc 8-gram overlap against an eval
+    set (every 20th document), broadcast gram probe — the P1 membership
+    screen of a training pipeline (reference analog: dim-table membership
+    probes). Text-keyed (oracle-portable); production uses key='hash'."""
+    from pyppi_spark.operators.decontaminate import decontaminate
+
+    docs = _documents(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 20 == 0).select("text")
+    out = decontaminate(docs, bench, n=8, key="text")
+    # n_overlap/n_grams is an exact int ratio in double — RAW emit
+    return out.select("doc_id", "n_grams", "n_overlap", "overlap_frac", "contaminated")
+
+
+def q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII shape screening: email/phone/IPv4 pattern counts per document,
+    pure regexp_count codegen (patterns are RE2-compatible so the oracle
+    runs them verbatim)."""
+    from pyppi_spark.functions.text import pii_stats
+
+    docs = _documents(spark, sf_dir)
+    s = pii_stats(F.col("text"))
+    return docs.select("doc_id", *[v.alias(k) for k, v in s.items()])
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (Gopher-style filter signal): fraction of
+    word 5-gram occurrences that repeat an earlier gram. Row-local array
+    expressions — zero shuffle."""
+    from pyppi_spark.functions.text import repetition_stats
+
+    docs = _documents(spark, sf_dir)
+    s = repetition_stats(F.col("text"), n=5)
+    return docs.select("doc_id", *[v.alias(k) for k, v in s.items()])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pit_features": q_pit_features,
@@ -967,6 +1003,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow": q_winnow,
         "top_tokens": q_top_tokens,
         "stratified_sample": q_stratified_sample,
+        "decontaminate": q_decontaminate,
+        "pii_stats": q_pii_stats,
+        "doc_repetition": q_doc_repetition,
     }
 
 
@@ -1025,6 +1064,10 @@ GROUP BY user_id
 
 _NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
 _H32 = "('0x'||substr(md5({x}),1,8))::BIGINT"
+
+# the PII patterns are RE2-compatible by construction (functions/text.py)
+# so the oracle runs them VERBATIM — one source of truth for both engines
+from pyppi_spark.functions.text import PII_PATTERNS as PII_SQL  # noqa: E402
 
 
 def _minhash_lsh_sql(num_hashes: int = 64, seed: int = 42, bands: int = 16, rows_per_band: int = 4) -> str:
@@ -1582,6 +1625,59 @@ SELECT doc_id, rk::BIGINT AS rk, tok, tf, df, tfidf FROM (
          row_number() OVER (PARTITION BY tf.doc_id ORDER BY (tf.tf * n.n_docs) / d.df DESC, tf.tok) AS rk
   FROM TF tf JOIN DFRQ d ON tf.tok = d.tok CROSS JOIN N n
 ) WHERE rk <= 3
+""",
+        "decontaminate": f"""
+WITH W AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents
+), G AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) < 8 THEN [array_to_string(ws, ' ')]
+         ELSE list_distinct(list_transform(generate_series(1, len(ws)-7),
+              i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7]))
+    END AS grams
+  FROM W
+), DG AS (
+  SELECT doc_id, unnest(grams) AS g FROM G
+), B AS (
+  SELECT DISTINCT g FROM DG WHERE doc_id % 20 = 0
+), T AS (
+  SELECT doc_id, count(*)::BIGINT AS n_grams FROM DG GROUP BY doc_id
+), O AS (
+  SELECT doc_id, count(*)::BIGINT AS n_overlap FROM DG JOIN B USING (g) GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_grams,
+       coalesce(o.n_overlap, 0)::BIGINT AS n_overlap,
+       coalesce(o.n_overlap, 0)::DOUBLE / t.n_grams AS overlap_frac,
+       coalesce(o.n_overlap, 0) > 0 AS contaminated
+FROM T t LEFT JOIN O o USING (doc_id)
+""",
+        "pii_stats": f"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '{PII_SQL["email"]}'))::BIGINT AS n_email,
+  len(regexp_extract_all(text, '{PII_SQL["phone"]}'))::BIGINT AS n_phone,
+  len(regexp_extract_all(text, '{PII_SQL["ipv4"]}'))::BIGINT AS n_ipv4,
+  (len(regexp_extract_all(text, '{PII_SQL["email"]}')) > 0
+   OR len(regexp_extract_all(text, '{PII_SQL["phone"]}')) > 0
+   OR len(regexp_extract_all(text, '{PII_SQL["ipv4"]}')) > 0) AS has_pii
+FROM documents
+""",
+        "doc_repetition": f"""
+WITH W AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents
+), G AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+         ELSE list_transform(generate_series(1, len(ws)-4),
+              i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4])
+    END AS grams
+  FROM W
+)
+SELECT doc_id,
+       len(grams)::BIGINT AS n_grams_total,
+       len(list_distinct(grams))::BIGINT AS n_grams_distinct,
+       (len(grams) - len(list_distinct(grams)))::DOUBLE
+         / greatest(len(grams), 1) AS repetition_frac
+FROM G
 """,
         "winnow": f"""
 WITH N AS (

@@ -49,6 +49,9 @@ HEADLINE = [
     "embed_threshold_join",
     "minhash_lsh",
     "winnow",
+    "decontaminate",
+    "pii_stats",
+    "doc_repetition",
     "ngram_near_dedup",
     "align",
     "equi_join",

@@ -99,3 +99,63 @@ def doc_fingerprint(col: str | Column = "text") -> Column:
     analog): xxhash64 over lowercased, whitespace-collapsed content."""
     c = F.col(col) if isinstance(col, str) else col
     return F.xxhash64(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+# RE2-compatible (no backrefs/lookaround) so the identical patterns run in
+# both Java regex (Spark) and DuckDB's RE2 — the oracle mirrors them verbatim
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9() \-]{7,}[0-9]",
+    "ipv4": r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def pii_stats(col: str | Column = "text") -> dict[str, Column]:
+    """Per-document PII pattern counts (email / phone / IPv4 shapes) and a
+    ``has_pii`` flag — the scrub-or-drop screen every training pipeline
+    runs before a corpus ships. Pure ``regexp_count`` expressions
+    (codegen, no UDF); patterns are deliberately conservative shape
+    matchers, not validators — downstream scrubbing re-matches them with
+    the same patterns, so count-vs-scrub consistency is by construction."""
+    c = F.col(col) if isinstance(col, str) else col
+    counts = {
+        f"n_{name}": F.regexp_count(c, F.lit(pat)).cast("long")
+        for name, pat in PII_PATTERNS.items()
+    }
+    flag = F.lit(False)
+    for k in counts:
+        flag = flag | (counts[k] > 0)
+    return {**counts, "has_pii": flag}
+
+
+def repetition_stats(col: str | Column = "text", n: int = 5) -> dict[str, Column]:
+    """Within-document repetition signal (the Gopher-style repetition
+    filter): fraction of word ``n``-gram OCCURRENCES that are repeats of
+    an earlier gram in the same document — 0.0 for non-repetitive text,
+    →1.0 for looped/boilerplate text (a dominant failure mode of scraped
+    training data).
+
+    Pure array expressions over one row (no explode, no shuffle): the gram
+    array is built by ``transform`` over an index sequence. Higher-order
+    functions evaluate interpreted, but per ROW on bounded arrays this is
+    the right trade — the alternative explode+window costs a per-token
+    shuffle (measured 10× on the winnowing history); for the hot 100 TB
+    path the same statistic is also computable from the
+    ``decontaminate._distinct_grams`` rows when they are already being
+    built."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "), " ")
+    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), k - F.lit(1))
+    grams = F.when(F.size(words) < n, F.array(F.concat_ws(" ", words))).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    )
+    total = F.size(grams).cast("long")
+    distinct = F.size(F.array_distinct(grams)).cast("long")
+    return {
+        "n_grams_total": total,
+        "n_grams_distinct": distinct,
+        "repetition_frac": (
+            (total - distinct).cast("double") / F.when(total > 0, total).otherwise(F.lit(1)).cast("double")
+        ),
+    }

@@ -1,0 +1,88 @@
+"""Decontamination, PII screening, repetition stats — the corpus-hygiene
+operator family (driver queries: decontaminate / pii_stats /
+doc_repetition, all value-oracled vs DuckDB)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyppi_spark.operators.decontaminate import decontaminate
+
+
+PHRASE = "the seven ancient lanterns burned quietly over the frozen harbor"  # 10 words
+
+
+def _corpus(spark):
+    rows = [
+        (0, f"intro words then {PHRASE} and some trailing context here"),  # shares the phrase
+        (1, "a completely unrelated document about spark physical plans and exchanges"),
+        (2, PHRASE),                      # IS a benchmark doc verbatim
+        (3, "short doc"),                 # < n words
+        (4, "another clean document describing parquet row group statistics pruning behavior"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _benchmark(spark):
+    return spark.createDataFrame(
+        [(PHRASE,), ("totally different benchmark prompt about graph coloring heuristics",)],
+        "text string",
+    )
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    out = {
+        r.doc_id: r
+        for r in decontaminate(_corpus(spark), _benchmark(spark), n=8).collect()
+    }
+    assert out[0].contaminated and out[0].n_overlap >= 1   # shares the 10-word phrase
+    assert out[2].contaminated and out[2].overlap_frac == 1.0  # verbatim benchmark doc
+    assert not out[1].contaminated and out[1].n_overlap == 0
+    assert not out[3].contaminated  # short doc screened, not flagged
+    assert not out[4].contaminated
+    assert len(out) == 5  # every doc gets a report row
+
+
+def test_decontaminate_hash_equals_text_key(spark):
+    a = decontaminate(_corpus(spark), _benchmark(spark), n=8, key="hash").toPandas()
+    b = decontaminate(_corpus(spark), _benchmark(spark), n=8, key="text").toPandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_pii_stats_planted(spark):
+    from pyppi_spark.functions.text import pii_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "contact us at alice@example.com or bob.smith+tag@mail.co.uk today"),
+            (1, "call +1 (415) 555-0199 or 020 7946 0958 now"),
+            (2, "server at 192.168.0.1 and 10.0.0.255 responded"),
+            (3, "no personal data in this perfectly clean sentence"),
+        ],
+        "doc_id long, text string",
+    )
+    s = pii_stats(F.col("text"))
+    out = {r.doc_id: r for r in docs.select("doc_id", *[v.alias(k) for k, v in s.items()]).collect()}
+    assert out[0].n_email == 2 and out[0].has_pii
+    assert out[1].n_phone >= 2 and out[1].has_pii
+    assert out[2].n_ipv4 == 2 and out[2].has_pii
+    assert not out[3].has_pii and out[3].n_email == out[3].n_phone == out[3].n_ipv4 == 0
+
+
+def test_repetition_stats(spark):
+    from pyppi_spark.functions.text import repetition_stats
+
+    looped = " ".join(["alpha beta gamma delta epsilon"] * 8)  # 5-word loop → repeats
+    unique = "every word in this sentence appears exactly once without any repeats whatsoever"
+    docs = spark.createDataFrame(
+        [(0, looped), (1, unique), (2, "tiny"), (3, "")],
+        "doc_id long, text string",
+    )
+    s = repetition_stats(F.col("text"), n=5)
+    out = {r.doc_id: r for r in docs.select("doc_id", *[v.alias(k) for k, v in s.items()]).collect()}
+    assert out[0].repetition_frac > 0.8  # 36 grams, ~5 distinct
+    assert out[1].repetition_frac == 0.0
+    assert out[2].n_grams_total == 1 and out[2].repetition_frac == 0.0
+    assert out[3].n_grams_total == 1  # empty text still yields one (empty) gram
