@@ -953,13 +953,14 @@ def q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition (Gopher-style filter signal): fraction of
-    word 5-gram occurrences that repeat an earlier gram. Row-local array
-    expressions — zero shuffle."""
-    from pyppi_spark.functions.text import repetition_stats
+    word 5-gram occurrences that repeat an earlier gram. Rows formulation
+    (explode+lead+hashagg, whole-stage codegen) — measured 5× the HOF
+    array form, which is kept as the composable scalar variant
+    (functions.text.repetition_stats; equality tested)."""
+    from pyppi_spark.operators.decontaminate import repetition_report
 
     docs = _documents(spark, sf_dir)
-    s = repetition_stats(F.col("text"), n=5)
-    return docs.select("doc_id", *[v.alias(k) for k, v in s.items()])
+    return repetition_report(docs, n=5, key="text")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

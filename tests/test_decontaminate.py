@@ -86,3 +86,29 @@ def test_repetition_stats(spark):
     assert out[1].repetition_frac == 0.0
     assert out[2].n_grams_total == 1 and out[2].repetition_frac == 0.0
     assert out[3].n_grams_total == 1  # empty text still yields one (empty) gram
+
+
+def test_repetition_report_equals_hof_form(spark):
+    """The rows (explode+hashagg) repetition formulation must equal the
+    row-local HOF array form value-for-value, in both key modes."""
+    from pyppi_spark.functions.text import repetition_stats
+    from pyppi_spark.operators.decontaminate import repetition_report
+
+    looped = " ".join(["alpha beta gamma delta epsilon"] * 8)
+    docs = spark.createDataFrame(
+        [(0, looped),
+         (1, "every word here is distinct so nothing repeats in any gram at all"),
+         (2, "tiny"), (3, ""), (4, "a b a b a b a b a b a b")],
+        "doc_id long, text string",
+    )
+    s = repetition_stats(F.col("text"), n=5)
+    hof = (
+        docs.select("doc_id", *[v.alias(k) for k, v in s.items()])
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    for key in ("hash", "text"):
+        rows = (
+            repetition_report(docs, n=5, key=key)
+            .toPandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert rows[hof.columns.tolist()].equals(hof), key
