@@ -4,6 +4,8 @@ from .text import (
     quality_score,
     lang_id,
     doc_fingerprint,
+    pii_stats,
+    repetition_stats,
 )
 from .vectors import cosine_similarity, dot, l2_norm
 
@@ -13,6 +15,8 @@ __all__ = [
     "quality_score",
     "lang_id",
     "doc_fingerprint",
+    "pii_stats",
+    "repetition_stats",
     "cosine_similarity",
     "dot",
     "l2_norm",

@@ -10,7 +10,12 @@ from .dedup import (
     simhash64,
     ngram_jaccard_pairs,
     near_dedup_representatives,
+    near_dup_components,
+    star_components,
+    winnow_fingerprints,
+    winnow_fingerprints_kernel,
 )
+from .decontaminate import decontaminate, repetition_report
 from .align import align_conversations
 from .sampling import stratified_sample
 from .similarity import brute_force_topk, lsh_topk, ivf_topk, embedding_neardup_pairs, threshold_pairs_exact
@@ -38,6 +43,12 @@ __all__ = [
     "simhash64",
     "ngram_jaccard_pairs",
     "near_dedup_representatives",
+    "near_dup_components",
+    "star_components",
+    "winnow_fingerprints",
+    "winnow_fingerprints_kernel",
+    "decontaminate",
+    "repetition_report",
     "brute_force_topk",
     "lsh_topk",
     "ivf_topk",

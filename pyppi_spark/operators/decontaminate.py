@@ -4,11 +4,12 @@ evaluation set.
 A 100 TB training corpus must be screened for evaluation-set leakage
 before training — the standard scheme (the GPT-3/PaLM appendix method) is
 word n-gram collision: a document is contaminated when it shares ≥1
-sufficiently long n-gram with any benchmark document. The reference's
-closest analog is its membership screens against curated side tables
-(``/root/reference/pyPPI/DBConfig.py`` blacklists / dim-table probes);
-semantically this is P1 membership filtering where the membership set is
-derived, not given.
+sufficiently long n-gram with any benchmark document. Semantically this
+is the reference's P1 membership screen (``a.chain in part`` at
+``/root/reference/pyPPI/pdbReader.py:114-115``,
+``/root/reference/bin/setupPpiDb.py:129-130``) with a DERIVED membership
+set: the probe keys are built from the benchmark's content rather than
+given as a literal list.
 
 Physical shape (all codegen until the final join):
 

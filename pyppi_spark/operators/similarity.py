@@ -334,6 +334,55 @@ def _nearest_centroids_expr(vec, centroids: np.ndarray, n: int, vnorm=None):
     return F.slice(F.transform(ordered, lambda p: p["i"]), 1, n)
 
 
+def _assign_cells_blas(
+    df: DataFrame,
+    ident: str,
+    id_col: str,
+    vec_col: str,
+    centroids: np.ndarray,
+    n: int,
+) -> DataFrame:
+    """(id, vec, norm, n-nearest-centroid-id array) via one dense matmul
+    per Arrow batch — the assignment path for LARGE coarse quantizers
+    (≥~64 centroids), where per-row fold dots cost n_centroids × dim
+    expression work per vector while BLAS does the whole batch in one
+    V @ C.T. Tie order matches the expr path exactly (descending sim,
+    then descending centroid id), via a stable argsort over the reversed
+    column order."""
+    import pandas as pd
+
+    C = centroids.astype(np.float64)
+    Cn = np.linalg.norm(C, axis=1)
+    nc = len(C)
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{ident} {id_type}, _v array<double>, _n double, _cells array<int>"
+
+    def kernel(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            V = np.stack(b["_v"].to_numpy()).astype(np.float64)
+            Vn = np.linalg.norm(V, axis=1)
+            S = (V @ C.T) / np.maximum(Vn[:, None] * Cn[None, :], 1e-300)
+            # ties → HIGHER centroid id first (the expr path's
+            # reverse(array_sort) order): stable argsort over reversed
+            # columns, indices mapped back
+            ord_rev = np.argsort(-S[:, ::-1], axis=1, kind="stable")
+            order = (nc - 1) - ord_rev
+            yield pd.DataFrame(
+                {
+                    ident: b["_id"].to_numpy(),
+                    "_v": b["_v"].to_numpy(),
+                    "_n": Vn,
+                    "_cells": list(order[:, :n].astype("int32")),
+                }
+            )
+
+    return df.select(F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v")).mapInPandas(
+        kernel, schema=schema
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -345,26 +394,50 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     centroids: np.ndarray | None = None,
+    assign_strategy: str = "expr",
 ) -> DataFrame:
     """IVF-flat: candidates assigned to their nearest centroid cell; each
-    query probes its ``n_probe`` nearest cells; exact cosine within cells."""
+    query probes its ``n_probe`` nearest cells; exact cosine within cells.
+
+    ``assign_strategy``: ``expr`` (JVM fold dots per centroid — no Python
+    workers, the oracle-stable default, right up to a few dozen centroids)
+    or ``blas`` (one matmul per Arrow batch — the scale path when the
+    quantizer has hundreds/thousands of cells; same tie order, but BLAS
+    reduction order can flip an assignment whose two best cells are within
+    1 ULP — irrelevant to an ANN contract). Final scoring is the exact JVM
+    fold in both modes."""
     if centroids is None:
         centroids = train_centroids(candidates, n_centroids, vec_col, id_col=id_col, seed=seed)
+    if assign_strategy not in ("expr", "blas"):
+        raise ValueError(f"unknown assign_strategy {assign_strategy!r}")
     dim = centroids.shape[1]
 
     cv = _as_double(vec_col)
-    c_assigned = candidates.select(
-        F.col(id_col).alias("neighbor_id"), cv.alias("_vc"), l2_norm(cv, dim).alias("_cn")
-    ).select(
-        "neighbor_id", "_vc", "_cn",
-        F.element_at(_nearest_centroids_expr(F.col("_vc"), centroids, 1, F.col("_cn")), 1).alias("_cell"),
-    )
-    q_assigned = queries.select(
-        F.col(id_col).alias(query_id_col), cv.alias("_vq"), l2_norm(cv, dim).alias("_qn")
-    ).select(
-        query_id_col, "_vq", "_qn",
-        F.explode(_nearest_centroids_expr(F.col("_vq"), centroids, n_probe, F.col("_qn"))).alias("_cell"),
-    )
+    if assign_strategy == "blas":
+        # norms for SCORING are recomputed as the JVM fold (not the numpy
+        # norm the kernel used for assignment): scores must be bitwise
+        # identical across assignment strategies and to the oracle
+        c_assigned = _assign_cells_blas(candidates, "neighbor_id", id_col, vec_col, centroids, 1).select(
+            "neighbor_id", F.col("_v").alias("_vc"), l2_norm(F.col("_v"), dim).alias("_cn"),
+            F.element_at("_cells", 1).alias("_cell"),
+        )
+        q_assigned = _assign_cells_blas(queries, query_id_col, id_col, vec_col, centroids, n_probe).select(
+            query_id_col, F.col("_v").alias("_vq"), l2_norm(F.col("_v"), dim).alias("_qn"),
+            F.explode("_cells").alias("_cell"),
+        )
+    else:
+        c_assigned = candidates.select(
+            F.col(id_col).alias("neighbor_id"), cv.alias("_vc"), l2_norm(cv, dim).alias("_cn")
+        ).select(
+            "neighbor_id", "_vc", "_cn",
+            F.element_at(_nearest_centroids_expr(F.col("_vc"), centroids, 1, F.col("_cn")), 1).alias("_cell"),
+        )
+        q_assigned = queries.select(
+            F.col(id_col).alias(query_id_col), cv.alias("_vq"), l2_norm(cv, dim).alias("_qn")
+        ).select(
+            query_id_col, "_vq", "_qn",
+            F.explode(_nearest_centroids_expr(F.col("_vq"), centroids, n_probe, F.col("_qn"))).alias("_cell"),
+        )
     pairs = q_assigned.join(c_assigned, "_cell").where(
         F.col("neighbor_id") != F.col(query_id_col)
     )

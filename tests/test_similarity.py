@@ -122,3 +122,21 @@ def test_threshold_pairs_blocked_empty(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     out = threshold_pairs_exact(empty, threshold=0.5, dim=4, n_blocks=4)
     assert out.count() == 0 and out.columns == ["a", "b", "cos_sim"]
+
+
+def test_ivf_blas_assignment_equals_expr(spark, vecs):
+    """The BLAS cell-assignment path (large-quantizer scale path) must
+    produce the same top-k output as the JVM expr path on the fixture
+    (assignment ULP ties are absent in real data; final scoring is the
+    exact fold in both modes)."""
+    from pyppi_spark.operators.similarity import ivf_topk, train_centroids
+
+    cents = train_centroids(vecs, n_centroids=8, seed=42)
+    q = vecs.where(F.col("vec_id") < 5)
+    a = ivf_topk(q, vecs, k=10, n_probe=3, centroids=cents, assign_strategy="expr").toPandas()
+    b = ivf_topk(q, vecs, k=10, n_probe=3, centroids=cents, assign_strategy="blas").toPandas()
+    key = lambda df: df.sort_values(["query_id", "rk"]).reset_index(drop=True)
+    a, b = key(a), key(b)
+    assert len(a) == len(b) > 0
+    assert (a.neighbor_id == b.neighbor_id).all()
+    assert (a.cos_sim == b.cos_sim).all()  # exact fold scoring in both
