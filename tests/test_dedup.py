@@ -251,3 +251,25 @@ def test_winnow_kernel_fast_guarantee_and_no_shuffle(spark):
     s0 = set(fp[fp.doc_id == 0].fingerprint)
     s1 = set(fp[fp.doc_id == 1].fingerprint)
     assert s0 & s1
+
+
+def test_star_equals_label_on_random_graphs(spark):
+    """Property-style check over seeded random graphs: star contraction
+    and label propagation must produce identical component labelings
+    (chains, forests, cliques, and singletons arise naturally)."""
+    import numpy as np
+
+    from pyppi_spark.operators.dedup import near_dup_components, star_components
+
+    for seed in (3, 17, 99):
+        rng = np.random.default_rng(seed)
+        n_edges = int(rng.integers(5, 40))
+        edges = set()
+        while len(edges) < n_edges:
+            a, b = rng.integers(0, 30, size=2)
+            if a != b:
+                edges.add((int(min(a, b)), int(max(a, b))))
+        pairs = spark.createDataFrame(sorted(edges), "a long, b long")
+        by_label = {(r.node, r.label) for r in near_dup_components(pairs, algorithm="label", max_iters=40).collect()}
+        by_star = {(r.node, r.label) for r in star_components(pairs).collect()}
+        assert by_label == by_star, f"seed {seed}: component labelings diverge"
