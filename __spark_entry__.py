@@ -311,6 +311,40 @@ def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 tumbling-window per-type counts — the batch form of
+    streaming_turn_counts (same groupBy(window(...)) expression batch and
+    streaming). Spark aligns windows to the 1970 epoch, DuckDB time_bucket
+    to 2000-01-01; both origins are divisible by 10 minutes so the bucket
+    boundaries coincide exactly."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("value_sum"))
+        .select(
+            _us(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+
+
+def q_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2-family calendar features: activity profile by (ISO weekday,
+    hour-of-day) bucket — the time-axis analog of the reference's
+    geometric decomposition functions."""
+    from pyppi_spark.functions.time import calendar_features
+
+    ev = _events(spark, sf_dir)
+    cal = calendar_features(F.col("ts"))
+    return (
+        ev.select("value", *[v.alias(k) for k, v in cal.items()])
+        .groupBy("weekday", "hour_of_day", "is_weekend")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("value_mean"))
+    )
+
+
 def q_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3-A7 per-entity feature vector: counts by type, directed type-bigram
     transition counts (J12/A5 analog), latency aggregates, session count."""
@@ -968,6 +1002,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_features": q_pit_features,
         "sessionize": q_sessionize,
         "session_window_agg": q_session_window_agg,
+        "tumbling_counts": q_tumbling_counts,
+        "time_features": q_time_features,
         "lag_lead": q_lag_lead,
         "backfill": q_backfill,
         "asof_join": q_asof_join,
@@ -1285,6 +1321,23 @@ SELECT user_id, session_id,
        count(*)::BIGINT AS session_len
 FROM sessioned
 GROUP BY user_id, session_id
+""",
+        "time_features": """
+SELECT (date_part('isodow', ts) - 1)::BIGINT AS weekday,
+       date_part('hour', ts)::BIGINT AS hour_of_day,
+       (date_part('isodow', ts) - 1) >= 5 AS is_weekend,
+       count(*)::BIGINT AS n,
+       round(avg(value), 6) AS value_mean
+FROM events
+GROUP BY 1, 2, 3
+""",
+        "tumbling_counts": """
+SELECT epoch_us(time_bucket(INTERVAL '10 minutes', ts)) AS window_start_us,
+       event_type,
+       count(*)::BIGINT AS n,
+       round(sum(value), 4) AS value_sum
+FROM events
+GROUP BY 1, 2
 """,
         # ground truth for session_window is the OTHER sessionization
         # definition (cumsum over gap > threshold) — their agreement is the

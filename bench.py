@@ -32,6 +32,8 @@ HEADLINE = [
     "pit_features",
     "sessionize",
     "session_window_agg",
+    "tumbling_counts",
+    "time_features",
     "asof_tolerance",
     "lag_lead",
     "backfill",

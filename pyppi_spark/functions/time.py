@@ -25,3 +25,17 @@ def epoch_micros(col: str | Column) -> Column:
     at the end)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.unix_micros(c.cast("timestamp"))
+
+
+def calendar_features(col: str | Column) -> dict[str, Column]:
+    """Calendar decomposition for time-of-day/day-of-week feature buckets.
+    ``weekday`` is ISO-monday-based (0=Mon … 6=Sun — Spark ``weekday`` ==
+    DuckDB ``isodow - 1``; Spark's 1=Sunday ``dayofweek`` is avoided
+    because it matches neither ISO nor DuckDB's 0=Sunday ``dow``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = c.cast("timestamp")
+    return {
+        "weekday": F.weekday(t).cast("long"),
+        "hour_of_day": F.hour(t).cast("long"),
+        "is_weekend": F.weekday(t) >= 5,
+    }
