@@ -158,6 +158,20 @@ def main() -> None:
             )
         )
 
+        # the full production near-dedup pipeline (fast-hash signatures →
+        # LSH banding → exact Jaccard verify → transitive survivors): what
+        # a 100 TB dedup run actually executes (the driver query's
+        # portable-hash mode exists for its oracle)
+        from pyppi_spark.operators import near_dedup_representatives, ngram_jaccard_pairs
+
+        def near_dedup_fast() -> None:
+            sigs = minhash_signatures(docs, num_hashes=64, shingle_n=3, seed=42, hash_mode="fast")
+            cands = minhash_lsh_candidates(sigs, bands=32, rows_per_band=2).localCheckpoint()
+            dups = ngram_jaccard_pairs(docs, cands, threshold=0.8)
+            force(near_dedup_representatives(docs, dups).select("doc_id"))
+
+        yield "near_dedup_fast", near_dedup_fast
+
     for name, job in fast_paths():
         walls = sorted(timed(job) for _ in range(REPS))
         timings[name] = round(walls[0], 3)
