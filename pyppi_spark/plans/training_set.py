@@ -5,6 +5,8 @@ relational derivation → energy terms, stage outputs materialized between
 steps) as a Spark DAG over transcripts + documents:
 
 1. document hygiene: quality score + language filter (text analysis),
+   PII screening, repetition filter, and optional benchmark
+   decontamination,
 2. near-duplicate removal: MinHash-LSH candidates → exact n-gram Jaccard
    verify → representative selection,
 3. transcript feature extraction: sessionization, lag/lead, backfill,
@@ -20,7 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions import lang_id, quality_score
+from ..functions import lang_id, pii_stats, quality_score
+from ..operators.decontaminate import decontaminate, repetition_report
 from ..operators.dedup import (
     minhash_lsh_candidates,
     minhash_signatures,
@@ -36,15 +39,36 @@ def clean_documents(
     min_quality: float = 0.3,
     languages: tuple[str, ...] = ("en",),
     jaccard_threshold: float = 0.8,
+    drop_pii: bool = False,
+    max_repetition: float | None = None,
+    benchmark: DataFrame | None = None,
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """Quality/language filter then near-dedup; returns surviving docs with
-    their quality/lang columns attached."""
+    """Document-hygiene stage: quality/language filter, optional PII drop,
+    optional repetition filter, optional benchmark decontamination, then
+    near-dedup; returns surviving docs with quality/lang attached.
+
+    Screen order is cheapest-first: row-local scalar filters prune before
+    the gram-building screens, and everything prunes before the
+    shuffle-heaviest near-dedup."""
     scored = documents.withColumn("quality", quality_score("text")).withColumn(
         "lang_pred", lang_id("text")
     )
     kept = scored.where(
         (F.col("quality") >= min_quality) & F.col("lang_pred").isin(*languages)
     )
+    if drop_pii:
+        kept = kept.where(~pii_stats(F.col("text"))["has_pii"])
+    if max_repetition is not None:
+        rep = repetition_report(kept, id_col=id_col).where(
+            F.col("repetition_frac") <= max_repetition
+        )
+        kept = kept.join(rep.select(id_col), id_col, "left_semi")
+    if benchmark is not None:
+        contaminated = decontaminate(kept, benchmark, id_col=id_col).where(
+            F.col("contaminated")
+        )
+        kept = kept.join(contaminated.select(id_col), id_col, "left_anti")
     sigs = minhash_signatures(kept)
     cands = minhash_lsh_candidates(sigs, bands=32, rows_per_band=2)
     dups = ngram_jaccard_pairs(kept, cands, threshold=jaccard_threshold)

@@ -26,3 +26,36 @@ def test_build_training_set_tables(spark, tiny_df, probes_df):
     assert tables["turn_features"].count() == n_turns
     assert tables["conv_features"].count() == tiny_df.select("conv_id").distinct().count()
     assert tables["pit_features"].count() == probes_df.count()
+
+
+def test_clean_documents_full_hygiene(spark):
+    """All hygiene screens composed: PII drop, repetition cap, benchmark
+    decontamination, then near-dedup — each screen removes exactly its
+    planted offender."""
+    base = "a thoroughly ordinary english document about the weather and the sea and the sky"
+    rows = [
+        (0, base + " plus unique ending one"),
+        (1, "email me at leak@example.com about " + base),        # PII
+        (2, " ".join(["repeat the same five words"] * 12)),       # repetition
+        (3, "the secret benchmark prompt asks about seven golden rings of power today"),  # contaminated
+        (4, base + " plus unique ending one"),                    # exact dup of 0
+        (5, "another perfectly clean english text describing the harbor and the morning light"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [("the secret benchmark prompt asks about seven golden rings of power today",)],
+        "text string",
+    )
+    kept = sorted(
+        r.doc_id
+        for r in clean_documents(
+            docs, min_quality=0.2, languages=("en",),
+            drop_pii=True, max_repetition=0.5, benchmark=bench,
+        ).collect()
+    )
+    assert 1 not in kept          # PII
+    assert 2 not in kept          # repetition
+    assert 3 not in kept          # contaminated
+    assert not {0, 4} <= set(kept)  # near-dedup keeps one of the pair
+    assert 0 in kept or 4 in kept
+    assert 5 in kept
