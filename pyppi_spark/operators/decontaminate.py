@@ -68,6 +68,7 @@ def repetition_report(
     id_col: str = "doc_id",
     n: int = 5,
     key: str = "hash",
+    strategy: str = "relational",
 ) -> DataFrame:
     """Per-document repetition statistics — the DataFrame-level form of
     ``functions.text.repetition_stats`` (same values, same edge semantics),
@@ -77,26 +78,65 @@ def repetition_report(
     shuffle of fixed-width (id, gram-hash) rows.
 
     ``key="hash"`` counts distinct xxhash64(gram) — fixed-width shuffle,
-    the scale path (a 64-bit collision undercounts distinct by 1 with
-    probability ~n²/2⁶⁵ per doc — negligible, and conservative: it can
-    only INCREASE the repetition signal). ``key="text"`` counts the gram
-    strings exactly (oracle-portable)."""
+    the scale path of the relational form (a 64-bit collision undercounts
+    distinct by 1 with probability ~n²/2⁶⁵ per doc — negligible, and
+    conservative: it can only INCREASE the repetition signal).
+    ``key="text"`` counts the gram strings exactly (oracle-portable).
+
+    ``strategy="kernel"``: the statistic is doc-local, so a ``mapInPandas``
+    kernel computes it with ZERO shuffle (the relational form shuffles one
+    row per corpus word); exact set counting, ``key`` ignored. Both
+    strategies agree value-for-value (tested)."""
     if key not in ("hash", "text"):
         raise ValueError(f"unknown key {key!r}")
-    g = _grams(docs, text_col, id_col, n, distinct=False)
-    gk = F.xxhash64("_g") if key == "hash" else F.col("_g")
-    return (
-        g.groupBy(id_col)
-        .agg(
+    if strategy not in ("relational", "kernel"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "kernel":
+        import pandas as pd
+
+        id_type = docs.schema[id_col].dataType.simpleString()
+        staged = docs.select(
+            F.col(id_col).alias("_id"), _normalize(F.col(text_col)).alias("_t")
+        )
+
+        def kernel(batches):
+            for b in batches:
+                ids, totals, distincts = [], [], []
+                for doc_id, t in zip(b["_id"], b["_t"]):
+                    grams = _py_grams(t, n)
+                    ids.append(doc_id)
+                    totals.append(len(grams))
+                    distincts.append(len(set(grams)))
+                yield pd.DataFrame(
+                    {id_col: ids, "n_grams_total": totals, "n_grams_distinct": distincts}
+                )
+
+        counted = staged.mapInPandas(
+            kernel,
+            schema=f"{id_col} {id_type}, n_grams_total long, n_grams_distinct long",
+        )
+    else:
+        g = _grams(docs, text_col, id_col, n, distinct=False)
+        gk = F.xxhash64("_g") if key == "hash" else F.col("_g")
+        counted = g.groupBy(id_col).agg(
             F.count(F.lit(1)).alias("n_grams_total"),
             F.countDistinct(gk).alias("n_grams_distinct"),
         )
-        .withColumn(
-            "repetition_frac",
-            (F.col("n_grams_total") - F.col("n_grams_distinct")).cast("double")
-            / F.col("n_grams_total").cast("double"),
-        )
+    return counted.withColumn(
+        "repetition_frac",
+        (F.col("n_grams_total") - F.col("n_grams_distinct")).cast("double")
+        / F.col("n_grams_total").cast("double"),
     )
+
+
+def _py_grams(text: str | None, n: int) -> list[tuple[str, ...]]:
+    """Python mirror of the relational gram builder over ALREADY-NORMALIZED
+    text: word n-gram tuples, whole text as one gram when shorter than n.
+    Tuples (not joined strings) — identity is the word sequence."""
+    words = (text or "").split(" ")
+    if len(words) < n:
+        return [tuple(words)]
+    return [tuple(words[i:i + n]) for i in range(len(words) - n + 1)]
 
 
 def decontaminate(
@@ -108,6 +148,7 @@ def decontaminate(
     n: int = 8,
     max_overlap_frac: float = 0.0,
     key: str = "hash",
+    strategy: str = "relational",
 ) -> DataFrame:
     """Per-document contamination report against a benchmark set:
     (id, n_grams, n_overlap, overlap_frac, contaminated).
@@ -116,43 +157,76 @@ def decontaminate(
     default 0.0 flags ANY shared n-gram (the conservative standard). Filter
     ``~contaminated`` to decontaminate, or join the report back for audit.
 
-    The benchmark gram set is broadcast (an eval suite is small by
-    definition; if yours is not, drop the ``F.broadcast`` hint and let AQE
-    pick the join). The corpus-side gram build shuffles once on the doc id
-    and that exchange feeds both the total and the overlap counts.
+    ``strategy``:
+
+    - ``"relational"``: corpus grams as rows (explode + lead window, one
+      shuffle of fixed-width (id, gram-key) rows per WORD of the corpus),
+      benchmark gram set broadcast into a semi join. Pure JVM — the
+      oracle-portable form, and the right one when Python workers are
+      unavailable.
+    - ``"kernel"``: gram counting is doc-local, so no corpus row needs to
+      shuffle at all — the benchmark's (small) gram set broadcasts into a
+      ``mapInPandas`` kernel that emits one report row per doc directly.
+      At 100 TB of text the relational form's per-word shuffle is the
+      dominant cost (same class as the winnowing per-character shuffle);
+      this is the scale path. ``key`` is ignored (gram identity is the
+      word-tuple itself). Both strategies agree value-for-value (tested).
     """
     if key not in ("hash", "text"):
         raise ValueError(f"unknown key {key!r}")
-    gram_key = (lambda c: F.xxhash64(c)) if key == "hash" else (lambda c: c)
-
-    doc_grams = _distinct_grams(docs, text_col, id_col, n).select(
-        F.col(id_col), gram_key(F.col("_g")).alias("_k")
-    )
-    # the gram window needs a per-row id on the benchmark side too (grams
-    # must not span benchmark documents); eval sets without one get a
-    # deterministic content hash
+    if strategy not in ("relational", "kernel"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    # benchmark grams are built per benchmark doc either way (grams must
+    # not span documents); eval sets without an id get a content hash
     bench = benchmark.withColumn("_bid", F.xxhash64(F.col(bench_text_col)))
-    bench_grams = (
-        _distinct_grams(bench, bench_text_col, "_bid", n)
-        .select(gram_key(F.col("_g")).alias("_k"))
-        .distinct()
-    )
-    totals = doc_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
-    overlaps = (
-        doc_grams.join(F.broadcast(bench_grams), "_k", "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
-    )
-    return (
-        totals.join(overlaps, id_col, "left")
-        .select(
+    bench_gram_rows = _distinct_grams(bench, bench_text_col, "_bid", n)
+
+    if strategy == "kernel":
+        import pandas as pd
+
+        bench_set = frozenset(
+            tuple(g.split(" ")) for (g,) in bench_gram_rows.select("_g").distinct().collect()
+        )
+        bc = docs.sparkSession.sparkContext.broadcast(bench_set)
+        id_type = docs.schema[id_col].dataType.simpleString()
+        staged = docs.select(
+            F.col(id_col).alias("_id"), _normalize(F.col(text_col)).alias("_t")
+        )
+
+        def kernel(batches):
+            bset = bc.value
+            for b in batches:
+                ids, totals, overlaps = [], [], []
+                for doc_id, t in zip(b["_id"], b["_t"]):
+                    grams = set(_py_grams(t, n))
+                    ids.append(doc_id)
+                    totals.append(len(grams))
+                    overlaps.append(len(grams & bset))
+                yield pd.DataFrame(
+                    {id_col: ids, "n_grams": totals, "n_overlap": overlaps}
+                )
+
+        counted = staged.mapInPandas(
+            kernel, schema=f"{id_col} {id_type}, n_grams long, n_overlap long"
+        )
+    else:
+        gram_key = (lambda c: F.xxhash64(c)) if key == "hash" else (lambda c: c)
+        doc_grams = _distinct_grams(docs, text_col, id_col, n).select(
+            F.col(id_col), gram_key(F.col("_g")).alias("_k")
+        )
+        bench_grams = bench_gram_rows.select(gram_key(F.col("_g")).alias("_k")).distinct()
+        totals = doc_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+        overlaps = (
+            doc_grams.join(F.broadcast(bench_grams), "_k", "left_semi")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+        )
+        counted = totals.join(overlaps, id_col, "left").select(
             F.col(id_col),
             "n_grams",
             F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
         )
-        .withColumn(
-            "overlap_frac",
-            F.col("n_overlap").cast("double") / F.col("n_grams").cast("double"),
-        )
-        .withColumn("contaminated", F.col("overlap_frac") > F.lit(max_overlap_frac))
-    )
+    return counted.withColumn(
+        "overlap_frac",
+        F.col("n_overlap").cast("double") / F.col("n_grams").cast("double"),
+    ).withColumn("contaminated", F.col("overlap_frac") > F.lit(max_overlap_frac))

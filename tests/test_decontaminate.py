@@ -112,3 +112,27 @@ def test_repetition_report_equals_hof_form(spark):
             .toPandas().sort_values("doc_id").reset_index(drop=True)
         )
         assert rows[hof.columns.tolist()].equals(hof), key
+
+
+def test_kernel_strategies_equal_relational(spark):
+    """The zero-shuffle kernel strategies for decontaminate and
+    repetition_report agree value-for-value with the relational forms on
+    the sf0.001 documents corpus (real text: unicode, short docs), and
+    their plans contain no Exchange."""
+    from pyppi_spark.operators.decontaminate import decontaminate, repetition_report
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 20 == 0).select("text")
+
+    rel = decontaminate(docs, bench, n=8, key="text").toPandas()
+    ker_df = decontaminate(docs, bench, n=8, strategy="kernel")
+    assert "Exchange" not in ker_df._jdf.queryExecution().executedPlan().toString()
+    ker = ker_df.toPandas()
+    key = lambda df: df.sort_values("doc_id").reset_index(drop=True)
+    assert key(rel).equals(key(ker)[rel.columns.tolist()])
+
+    rel_r = repetition_report(docs, n=5, key="text").toPandas()
+    ker_r_df = repetition_report(docs, n=5, strategy="kernel")
+    assert "Exchange" not in ker_r_df._jdf.queryExecution().executedPlan().toString()
+    ker_r = ker_r_df.toPandas()
+    assert key(rel_r).equals(key(ker_r)[rel_r.columns.tolist()])
