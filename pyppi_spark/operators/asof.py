@@ -209,6 +209,11 @@ def asof_join_merge(
     by = list(by)
     payload = list(payload) if payload is not None else _default_payload(build, by, build_ts, tiebreak)
     probe_cols = [c for c in probe.columns if c not in by and c != probe_ts]
+    if "_match_bt" in set(probe.columns) | {f"{prefix}{c}" for c in payload} | {build_ts}:
+        raise ValueError(
+            "asof_join_merge reserves the column name '_match_bt' internally — "
+            "rename the colliding probe/build/payload column"
+        )
 
     out_fields = (
         [probe.schema[c] for c in by]
@@ -239,7 +244,13 @@ def asof_join_merge(
         for c, oc in zip(payload, out_payload):
             if oc != c:
                 r[oc] = r[c]
-        r = r[list(dict.fromkeys([build_ts] + out_payload))]
+        # the matched build timestamp travels under its own reserved name:
+        # when probe_ts == build_ts, merge_asof keeps only the LEFT's
+        # column for the shared key name, so reading m[build_ts] would
+        # return the probe's own ts (Δt always 0 — breaking nearest
+        # selection and tolerance banding)
+        r["_match_bt"] = r[build_ts]
+        r = r[list(dict.fromkeys([build_ts] + out_payload + ["_match_bt"]))]
         if direction == "nearest":
             # composed backward+forward with the union form's pinned tie
             # rule (equal |Δt| → backward) rather than pandas' own
@@ -248,12 +259,12 @@ def asof_join_merge(
             mb = pd.merge_asof(left, r, direction="backward", **kw)
             mf = pd.merge_asof(left, r, direction="forward", **kw)
             pt = left[probe_ts].reset_index(drop=True)
-            bt_b = mb[build_ts].reset_index(drop=True)
-            bt_f = mf[build_ts].reset_index(drop=True)
+            bt_b = mb["_match_bt"].reset_index(drop=True)
+            bt_f = mf["_match_bt"].reset_index(drop=True)
             take_fwd = bt_b.isna() | (bt_f.notna() & ((bt_f - pt) < (pt - bt_b)))
             m = mb.reset_index(drop=True)
             mf = mf.reset_index(drop=True)
-            for c in list(dict.fromkeys([build_ts] + out_payload)):
+            for c in list(dict.fromkeys(out_payload + ["_match_bt"])):
                 m.loc[take_fwd, c] = mf.loc[take_fwd, c]
         else:
             m = pd.merge_asof(
@@ -267,19 +278,17 @@ def asof_join_merge(
         if tolerance is not None:
             # same post-selection banding as the union form (provably equal
             # to pre-filtering — the selected match minimizes |Δt|)
-            bt, pt = m[build_ts], m[probe_ts].reset_index(drop=True)
-            bt = bt.reset_index(drop=True)
+            bt = m["_match_bt"].reset_index(drop=True)
+            pt = m[probe_ts].reset_index(drop=True)
             m = m.reset_index(drop=True)
             if str(pt.dtype).startswith("datetime"):
                 out_of_band = bt.notna() & ((bt - pt).abs() > pd.Timedelta(seconds=tolerance))
             else:
                 out_of_band = bt.notna() & ((bt - pt).abs() > tolerance)
-            for c in list(dict.fromkeys([build_ts] + out_payload)):
+            for c in list(dict.fromkeys(out_payload)):
                 # .where → NaN/NaT, the same no-match representation
                 # merge_asof itself produces for unmatched probes
                 m[c] = m[c].where(~out_of_band)
-        if build_ts != probe_ts and build_ts in m.columns and build_ts not in out_names:
-            m = m.drop(columns=[build_ts])
         return m[out_names]
 
     return (

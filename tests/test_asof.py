@@ -288,3 +288,43 @@ def test_reserved_payload_name_rejected(spark, tiny_df, probes_df):
     bad = tiny_df.withColumn("_bt", tiny_df.turn_idx)
     with pytest.raises(ValueError, match="reserve"):
         asof_join(probes_df, bad, payload=["text", "_bt"])
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_same_name_ts_merge_equals_union(spark, direction):
+    """probe_ts == build_ts (both literally 'ts') — the driver-query shape.
+    pd.merge_asof keeps only the left's column for a shared key name, so
+    the merge strategy must carry the matched build ts separately or
+    nearest selection and tolerance banding silently read Δt = 0."""
+    build = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                ("c", 0, "user", "early", None, t(100)),
+                ("c", 1, "assistant", "late", None, t(300)),
+            ],
+            columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+        ),
+        schema=TRANSCRIPTS,
+    )
+    probes = spark.createDataFrame(
+        [("c", t(100), "p_on"), ("c", t(180), "p_near_early"),
+         ("c", t(250), "p_near_late"), ("c", t(1000), "p_far")],
+        "conv_id string, ts timestamp, probe_id string",
+    )
+    kw = dict(probe_ts="ts", build_ts="ts", payload=["text"], tolerance=60.0,
+              direction=direction)
+    u = asof_join(probes, build, strategy="union", **kw).toPandas()
+    m = asof_join(probes, build, strategy="merge", **kw).toPandas()
+    _cmp_cols = ["matched_text"]
+    u = u.sort_values("probe_id").reset_index(drop=True)
+    m = m.sort_values("probe_id").reset_index(drop=True)
+    for c in _cmp_cols:
+        gu = u[c].where(u[c].notna(), None).tolist()
+        gm = m[c].where(m[c].notna(), None).tolist()
+        assert gu == gm, f"{direction}/{c}: union {gu} != merge {gm}"
+    got = dict(zip(m.probe_id, m.matched_text))
+    if direction == "nearest":
+        # p_near_late is 50 s before 'late' (in band) and 150 s after
+        # 'early' — nearest must pick 'late'; p_far is out of band
+        assert got == {"p_on": "early", "p_near_early": None,
+                       "p_near_late": "late", "p_far": None}
