@@ -215,16 +215,18 @@ def decontaminate(
             F.col(id_col), gram_key(F.col("_g")).alias("_k")
         )
         bench_grams = bench_gram_rows.select(gram_key(F.col("_g")).alias("_k")).distinct()
-        totals = doc_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
-        overlaps = (
-            doc_grams.join(F.broadcast(bench_grams), "_k", "left_semi")
-            .groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("n_overlap"))
+        # ONE pass over the gram rows: broadcast-left-join marks each gram
+        # as hit/miss, a single aggregation counts both. (The obvious
+        # totals ⟕ semi-join-overlaps shape computes the gram subtree
+        # TWICE — once per branch — and adds a join; measured 6 exchanges
+        # vs this form's 3.) bench_grams is distinct on _k, so the left
+        # join cannot fan rows out.
+        hit = doc_grams.join(
+            F.broadcast(bench_grams.withColumn("_hit", F.lit(1))), "_k", "left"
         )
-        counted = totals.join(overlaps, id_col, "left").select(
-            F.col(id_col),
-            "n_grams",
-            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+        counted = hit.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_overlap"),
         )
     return counted.withColumn(
         "overlap_frac",
