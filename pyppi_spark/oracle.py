@@ -140,10 +140,16 @@ def oracle_asof(
     payload: list[str],
     inclusive: bool = True,
     prefix: str = "matched_",
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> pd.DataFrame:
     """Brute-force as-of: for each probe row scan all build rows of the conv —
     O(n·m), deliberately naive (no merge_asof: that is what the engine's
-    cross-check path uses)."""
+    cross-check path uses). ``direction`` mirrors the engine's pinned
+    semantics (backward: last at-or-before with max turn_idx on ties;
+    forward: first at-or-after with min turn_idx; nearest: smaller |Δt|,
+    equal → backward). ``tolerance`` (seconds) nulls matches with
+    |Δt| > tolerance."""
     out_rows = []
     bg = {k: v.sort_values(["ts", "turn_idx"], kind="mergesort") for k, v in build.groupby("conv_id")}
     for _, p in probes.iterrows():
@@ -151,12 +157,34 @@ def oracle_asof(
         rec = dict(p)
         match = None
         if g is not None:
-            if inclusive:
-                elig = g[g["ts"] <= p["probe_ts"]]
+            back = g[g["ts"] <= p["probe_ts"]] if inclusive else g[g["ts"] < p["probe_ts"]]
+            fwd = g[g["ts"] >= p["probe_ts"]] if inclusive else g[g["ts"] > p["probe_ts"]]
+            mb = back.iloc[-1] if len(back) else None
+            mf = fwd.iloc[0] if len(fwd) else None
+            if direction == "backward":
+                match = mb
+            elif direction == "forward":
+                match = mf
+            elif direction == "nearest":
+                if mb is None:
+                    match = mf
+                elif mf is None:
+                    match = mb
+                else:
+                    gap_b = p["probe_ts"] - mb["ts"]
+                    gap_f = mf["ts"] - p["probe_ts"]
+                    match = mf if gap_f < gap_b else mb
             else:
-                elig = g[g["ts"] < p["probe_ts"]]
-            if len(elig):
-                match = elig.iloc[-1]
+                raise ValueError(f"unknown direction {direction!r}")
+            if match is not None and tolerance is not None:
+                gap = abs(match["ts"] - p["probe_ts"])
+                bound = (
+                    pd.Timedelta(seconds=tolerance)
+                    if isinstance(gap, pd.Timedelta)
+                    else tolerance
+                )
+                if gap > bound:
+                    match = None
         for c in payload:
             rec[f"{prefix}{c}"] = match[c] if match is not None else None
         out_rows.append(rec)

@@ -131,3 +131,48 @@ def test_new_operators_deterministic_across_partitioning(spark, tiny_df):
     fp2, al2 = run(docs.repartition(17), tiny_df.repartition(13), right.repartition(7))
     assert fp1.equals(fp2)
     assert al1.equals(al2)
+
+
+@st.composite
+def asof_case(draw):
+    """Build + probe frames with adversarial tolerance-boundary gaps
+    (probe timestamps land exactly on, 1 ms inside, and 1 ms outside the
+    band around build rows)."""
+    pdf = draw(conv_frames())
+    probes = []
+    tol = 900.0
+    offsets = [-tol - 0.001, -tol, -1.0, 0.0, 1.0, tol, tol + 0.001]
+    for c in pdf["conv_id"].unique():
+        g = pdf[pdf.conv_id == c]
+        anchor = g["ts"].iloc[draw(st.integers(0, len(g) - 1))]
+        for j, off in enumerate(draw(st.lists(st.sampled_from(offsets), min_size=2, max_size=4))):
+            probes.append((c, anchor + dt.timedelta(seconds=off), f"p_{c}_{j}"))
+    return pdf, pd.DataFrame(probes, columns=["conv_id", "probe_ts", "probe_id"]), tol
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(case=asof_case())
+def test_asof_tolerance_vs_bruteforce_all_directions(spark, case):
+    """Both engine strategies must equal the naive O(n·m) oracle for every
+    direction under tolerance banding, on boundary-adversarial inputs."""
+    from pyppi_spark.operators import asof_join
+    from pyppi_spark.oracle import oracle_asof
+
+    pdf, probes_pdf, tol = case
+    build = spark.createDataFrame(pdf, schema=TRANSCRIPTS)
+    probes = spark.createDataFrame(probes_pdf, schema=PROBES)
+    for direction in ["backward", "forward", "nearest"]:
+        want = oracle_asof(
+            probes_pdf, pdf, ["text"], direction=direction, tolerance=tol
+        ).sort_values("probe_id").reset_index(drop=True)
+        for strategy in ["union", "merge"]:
+            got = (
+                asof_join(
+                    probes, build, strategy=strategy, payload=["text"],
+                    direction=direction, tolerance=tol,
+                )
+                .toPandas().sort_values("probe_id").reset_index(drop=True)
+            )
+            g = got["matched_text"].where(got["matched_text"].notna(), None).tolist()
+            w = want["matched_text"].where(want["matched_text"].notna(), None).tolist()
+            assert g == w, f"{strategy}/{direction}: {g} != {w}"
