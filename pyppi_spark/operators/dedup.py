@@ -174,6 +174,8 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     bands: int = 16,
     rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
+    hot_bucket: str = "error",
 ) -> DataFrame:
     """LSH banding: slice each signature into ``bands`` bands of
     ``rows_per_band`` values, hash each band, self-join on
@@ -182,7 +184,21 @@ def minhash_lsh_candidates(
     The self-join is a pure equi-join on a fixed-width key — shuffled hash /
     SMJ, AQE-skew-splittable; output is the candidate pair set to be
     verified with exact Jaccard.
+
+    ``max_bucket_size``: defense-in-depth cap on band-bucket population.
+    A bucket of m ids emits m(m−1)/2 pairs — quadratic output AQE cannot
+    shrink — and buckets only grow hot when identical-signature clusters
+    were not collapsed upstream (run ``exact_dedup`` first, as
+    ``plans.training_set.clean_documents`` does). The bucket census is a
+    window count partitioned on the join keys, so it rides the exchange the
+    self-join already needs (one reused shuffle, no extra pass).
+    ``hot_bucket="error"`` fails the job with the bucket size in the
+    message; ``"skip"`` drops oversized buckets (bounded recall loss — the
+    standard production trade, every surviving pair is still Jaccard-
+    verified downstream).
     """
+    if hot_bucket not in ("error", "skip"):
+        raise ValueError(f"unknown hot_bucket {hot_bucket!r}")
     banded = signatures.select(
         F.col(id_col),
         F.posexplode(
@@ -202,6 +218,31 @@ def minhash_lsh_candidates(
             )
         ).alias("band_idx", "band_hash"),
     )
+    if max_bucket_size is not None:
+        bsz = F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_hash"))
+        banded = banded.withColumn("_bsz", bsz)
+        if hot_bucket == "error":
+            banded = banded.where(
+                F.when(
+                    F.col("_bsz") > max_bucket_size,
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "minhash_lsh_candidates: band bucket size "
+                            ),
+                            F.col("_bsz").cast("string"),
+                            F.lit(
+                                f" exceeds max_bucket_size={max_bucket_size} — "
+                                "collapse exact duplicates upstream "
+                                "(exact_dedup) or pass hot_bucket='skip'"
+                            ),
+                        )
+                    ).isNull(),
+                ).otherwise(F.lit(True))
+            )
+        else:
+            banded = banded.where(F.col("_bsz") <= max_bucket_size)
+        banded = banded.drop("_bsz")
     a = banded.select(F.col(id_col).alias("a"), "band_idx", "band_hash")
     b = banded.select(F.col(id_col).alias("b"), "band_idx", "band_hash")
     return (

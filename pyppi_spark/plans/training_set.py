@@ -7,8 +7,9 @@ steps) as a Spark DAG over transcripts + documents:
 1. document hygiene: quality score + language filter (text analysis),
    PII screening, repetition filter, and optional benchmark
    decontamination,
-2. near-duplicate removal: MinHash-LSH candidates → exact n-gram Jaccard
-   verify → representative selection,
+2. duplicate removal: exact (normalized-content) dedup first, then
+   MinHash-LSH candidates → exact n-gram Jaccard verify → representative
+   selection over the unique texts,
 3. transcript feature extraction: sessionization, lag/lead, backfill,
 4. per-conversation feature vectors,
 5. point-in-time snapshots at probe timestamps (zero leakage).
@@ -25,6 +26,7 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions import lang_id, pii_stats, quality_score
 from ..operators.decontaminate import decontaminate, repetition_report
 from ..operators.dedup import (
+    exact_dedup,
     minhash_lsh_candidates,
     minhash_signatures,
     near_dedup_representatives,
@@ -69,10 +71,21 @@ def clean_documents(
             F.col("contaminated")
         )
         kept = kept.join(contaminated.select(id_col), id_col, "left_anti")
-    sigs = minhash_signatures(kept)
-    cands = minhash_lsh_candidates(sigs, bands=32, rows_per_band=2)
-    dups = ngram_jaccard_pairs(kept, cands, threshold=jaccard_threshold)
-    return near_dedup_representatives(kept, dups)
+    # Exact-dedup FIRST, near-dedup over unique texts only. Byte-identical
+    # documents — the dominant duplicate class in scraped corpora — share
+    # every band hash, so feeding them to LSH makes the band self-join
+    # output quadratic in the identical-cluster size (a 10⁶-copy
+    # boilerplate page ≈ 1.6×10¹³ candidate rows). Collapsing them to one
+    # representative first makes candidate count linear in copies; the
+    # survivor set is unchanged: exact duplicates have Jaccard 1.0, so the
+    # old composition dropped every non-min copy anyway, and the exact
+    # representative is its cluster's min id — the near-dup component min
+    # over representatives equals the global component min.
+    uniq = exact_dedup(kept, text_col="text", id_col=id_col)
+    sigs = minhash_signatures(uniq, id_col=id_col)
+    cands = minhash_lsh_candidates(sigs, id_col=id_col, bands=32, rows_per_band=2)
+    dups = ngram_jaccard_pairs(uniq, cands, id_col=id_col, threshold=jaccard_threshold)
+    return near_dedup_representatives(uniq, dups, id_col=id_col)
 
 
 def build_training_set(

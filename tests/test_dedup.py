@@ -273,3 +273,28 @@ def test_star_equals_label_on_random_graphs(spark):
         by_label = {(r.node, r.label) for r in near_dup_components(pairs, algorithm="label", max_iters=40).collect()}
         by_star = {(r.node, r.label) for r in star_components(pairs).collect()}
         assert by_label == by_star, f"seed {seed}: component labelings diverge"
+
+
+def test_lsh_hot_bucket_skip_and_error(spark):
+    """max_bucket_size guard: identical signatures flood one bucket per
+    band; 'skip' drops those buckets (no pairs from the hot cluster),
+    'error' fails the job with a pointer to exact_dedup."""
+    import pytest
+
+    sig = list(range(8))
+    rows = [(i, sig) for i in range(6)] + [(10, [9] * 8), (11, [9] * 8)]
+    sigs = spark.createDataFrame(rows, "doc_id long, minhash array<long>")
+    skipped = minhash_lsh_candidates(
+        sigs, bands=4, rows_per_band=2, max_bucket_size=4, hot_bucket="skip"
+    ).toPandas()
+    got = {(a, b) for a, b in zip(skipped.a, skipped.b)}
+    assert got == {(10, 11)}  # the size-6 cluster's buckets were dropped
+    with pytest.raises(Exception, match="max_bucket_size"):
+        minhash_lsh_candidates(
+            sigs, bands=4, rows_per_band=2, max_bucket_size=4, hot_bucket="error"
+        ).count()
+    # under the cap: identical behavior to the unguarded operator
+    ok = minhash_lsh_candidates(
+        sigs, bands=4, rows_per_band=2, max_bucket_size=100, hot_bucket="error"
+    )
+    assert ok.count() == minhash_lsh_candidates(sigs, bands=4, rows_per_band=2).count()

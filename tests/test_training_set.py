@@ -59,3 +59,45 @@ def test_clean_documents_full_hygiene(spark):
     assert not {0, 4} <= set(kept)  # near-dedup keeps one of the pair
     assert 0 in kept or 4 in kept
     assert 5 in kept
+
+
+def test_clean_documents_exact_dedup_before_lsh(spark):
+    """A 10k-copy identical document must NOT reach the LSH band self-join:
+    candidate-pair count stays linear (here: constant) in the copy count,
+    and the survivor set equals the 3-copy corpus's survivors."""
+    from pyppi_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    boiler = "the standard boilerplate footer about cookies and privacy on every single page"
+    distinct_docs = [
+        (10_000_000, "a unique english document describing the harbor and the morning light"),
+        (10_000_001, "another unique english text about the spark engine and the query planner"),
+        (10_000_002, "the standard boilerplate footer about cookies and privacy on each single page"),  # near-dup of boiler
+    ]
+
+    def corpus(copies):
+        return spark.createDataFrame(
+            [(i, boiler) for i in range(copies)] + distinct_docs,
+            "doc_id long, text string",
+        )
+
+    big, small = corpus(10_000), corpus(3)
+    # the composition's own stages: candidates over the exact-dedup'd corpus
+    # are independent of the identical-cluster size
+    n_cands = (
+        minhash_lsh_candidates(
+            minhash_signatures(exact_dedup(big)), bands=32, rows_per_band=2
+        ).count()
+    )
+    n_unique = 4  # 1 boiler representative + 3 distinct
+    assert n_cands <= n_unique * (n_unique - 1) // 2
+    survivors_big = sorted(
+        r.doc_id for r in clean_documents(big, min_quality=0.2, jaccard_threshold=0.5).select("doc_id").collect()
+    )
+    survivors_small = sorted(
+        r.doc_id for r in clean_documents(small, min_quality=0.2, jaccard_threshold=0.5).select("doc_id").collect()
+    )
+    assert survivors_big == survivors_small == [0, 10_000_000, 10_000_001]
