@@ -1707,12 +1707,12 @@ FROM T t LEFT JOIN O o USING (doc_id)
 """,
         "pii_stats": f"""
 SELECT doc_id,
-  len(regexp_extract_all(text, '{PII_SQL["email"]}'))::BIGINT AS n_email,
-  len(regexp_extract_all(text, '{PII_SQL["phone"]}'))::BIGINT AS n_phone,
-  len(regexp_extract_all(text, '{PII_SQL["ipv4"]}'))::BIGINT AS n_ipv4,
-  (len(regexp_extract_all(text, '{PII_SQL["email"]}')) > 0
-   OR len(regexp_extract_all(text, '{PII_SQL["phone"]}')) > 0
-   OR len(regexp_extract_all(text, '{PII_SQL["ipv4"]}')) > 0) AS has_pii
+  coalesce(len(regexp_extract_all(text, '{PII_SQL["email"]}')), 0)::BIGINT AS n_email,
+  coalesce(len(regexp_extract_all(text, '{PII_SQL["phone"]}')), 0)::BIGINT AS n_phone,
+  coalesce(len(regexp_extract_all(text, '{PII_SQL["ipv4"]}')), 0)::BIGINT AS n_ipv4,
+  (coalesce(len(regexp_extract_all(text, '{PII_SQL["email"]}')), 0) > 0
+   OR coalesce(len(regexp_extract_all(text, '{PII_SQL["phone"]}')), 0) > 0
+   OR coalesce(len(regexp_extract_all(text, '{PII_SQL["ipv4"]}')), 0) > 0) AS has_pii
 FROM documents
 """,
         "doc_repetition": f"""

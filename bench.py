@@ -209,26 +209,35 @@ def main() -> None:
     control_last = round(timed(lambda: force(qs["sessionize"](spark, SF_DIR))), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "queries_median": timings_median,
-                "control_sessionize": {"first": control_first, "last": control_last},
-                "reps": REPS,
-                "protocol": "best-of-reps per query (median alongside); "
-                "fixed control query timed first+last to expose host drift",
-                "shuffle_write_mb": shuffle_mb,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "turns": n_turns,
-                "turns_per_sec_feature_extraction": round(n_turns / feat_dt, 1),
-                "cpus": CPUS,
-            }
-        )
-    )
+    headline = {
+        "metric": "headline_queries_total_time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "turns": n_turns,
+        "turns_per_sec_feature_extraction": round(n_turns / feat_dt, 1),
+        "cpus": CPUS,
+        "reps": REPS,
+        "detail": "BENCH/LAST_RUN.json",
+    }
+    # full detail goes to a FILE (r03's stdout line exceeded the driver's
+    # tail capture and the round's canonical numbers survived only as a
+    # truncated string); stdout keeps the compact driver contract line
+    detail = {
+        **headline,
+        "queries_median": timings_median,
+        "control_sessionize": {"first": control_first, "last": control_last},
+        "protocol": "best-of-reps per query (median alongside); "
+        "fixed control query timed first+last to expose host drift",
+        "shuffle_write_mb": shuffle_mb,
+    }
+    os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"), exist_ok=True)
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "LAST_RUN.json"), "w"
+    ) as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(headline))
     spark.stop()
 
 

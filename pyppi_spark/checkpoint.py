@@ -138,10 +138,13 @@ def run_with_checkpoints(
     append. Per-bucket row counts ride on the WRITE itself via
     ``df.observe`` (one conditional-count accumulator per pending bucket —
     zero post-write reads; the earlier shape re-read the written output
-    once, and before that once per bucket). Accumulator width is bounded:
-    beyond 4096 pending buckets the counts fall back to one columnar
-    read-back of the written partitions (still a single scan of counts-only
-    metadata, no recompute).
+    once, and before that once per bucket). Accumulator width is bounded
+    at 256 pending buckets: every written row evaluates one CASE WHEN per
+    accumulator, and a wider aggregate exceeds the HotSpot huge-method /
+    codegen limits (running interpreted — costlier per row than the
+    read-back it replaces). Beyond the bound the counts fall back to one
+    columnar read-back of the written partitions (a single scan of
+    counts-only metadata, no recompute).
 
     Contract: ``transform`` must be entity-local (rows of different
     ``conv_col`` values never interact — true of every per-conversation
@@ -165,7 +168,7 @@ def run_with_checkpoints(
         )
         out = transform(part).withColumn("_bucket", bucket_of(conv_col, n_buckets))
         obs = None
-        if len(batch) <= 4096:
+        if len(batch) <= 256:
             obs = Observation(f"ckpt_{run_id}")
             out = out.observe(
                 obs,

@@ -116,10 +116,14 @@ def pii_stats(col: str | Column = "text") -> dict[str, Column]:
     runs before a corpus ships. Pure ``regexp_count`` expressions
     (codegen, no UDF); patterns are deliberately conservative shape
     matchers, not validators — downstream scrubbing re-matches them with
-    the same patterns, so count-vs-scrub consistency is by construction."""
+    the same patterns, so count-vs-scrub consistency is by construction.
+
+    NULL text counts as 0 / ``has_pii=false`` (coalesced): without it the
+    flag is NULL and three-valued logic makes ``~has_pii`` filters silently
+    drop null-text documents."""
     c = F.col(col) if isinstance(col, str) else col
     counts = {
-        f"n_{name}": F.regexp_count(c, F.lit(pat)).cast("long")
+        f"n_{name}": F.coalesce(F.regexp_count(c, F.lit(pat)), F.lit(0)).cast("long")
         for name, pat in PII_PATTERNS.items()
     }
     flag = F.lit(False)

@@ -214,6 +214,16 @@ def asof_join_merge(
             "asof_join_merge reserves the column name '_match_bt' internally — "
             "rename the colliding probe/build/payload column"
         )
+    if probe_ts != build_ts and build_ts in probe_cols:
+        # pd.merge_asof would suffix BOTH columns named build_ts (the
+        # probe's passthrough and the build key), so the output projection
+        # would KeyError — reject with a clear contract error instead,
+        # mirroring the union form's reserved-name clash check
+        raise ValueError(
+            f"asof_join_merge: probe carries a non-key column named "
+            f"{build_ts!r} (the build-side timestamp name) — pd.merge_asof "
+            "suffixes both; rename the probe column before the join"
+        )
 
     out_fields = (
         [probe.schema[c] for c in by]

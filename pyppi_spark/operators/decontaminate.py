@@ -43,10 +43,18 @@ def _grams(df: DataFrame, text_col: str, id_col: str, n: int, distinct: bool = T
     an unpartitioned window would build grams spanning document boundaries
     (and posexplode positions restart per row, so ordering would interleave
     documents). Documents shorter than ``n`` words contribute their whole
-    text as one gram, so short docs are still screened."""
+    text as one gram, so short docs are still screened. NULL text is
+    treated as empty (one empty gram) — ``posexplode_outer`` + coalesce,
+    matching the kernel strategy's ``text or ""`` so both strategies agree
+    on null-text docs too (a plain posexplode would silently drop the doc
+    from the report)."""
     words = df.select(
         F.col(id_col),
-        F.posexplode(F.split(_normalize(F.col(text_col)), " ")).alias("_pos", "_w0"),
+        F.posexplode_outer(F.split(_normalize(F.col(text_col)), " ")).alias("_pos", "_w0"),
+    ).select(
+        F.col(id_col),
+        F.coalesce("_pos", F.lit(0)).alias("_pos"),
+        F.coalesce("_w0", F.lit("")).alias("_w0"),
     )
     w = Window.partitionBy(id_col).orderBy("_pos")
     lead_cols = [F.lead("_w0", j).over(w).alias(f"_w{j}") for j in range(1, n)]
@@ -149,9 +157,17 @@ def decontaminate(
     max_overlap_frac: float = 0.0,
     key: str = "hash",
     strategy: str = "relational",
+    max_bench_grams: int = 5_000_000,
 ) -> DataFrame:
     """Per-document contamination report against a benchmark set:
     (id, n_grams, n_overlap, overlap_frac, contaminated).
+
+    ``max_bench_grams`` bounds the kernel strategy's driver-side collect of
+    the benchmark gram set (eval sets are KBs–MBs by contract — ~5M grams
+    ≈ several hundred MB of Python tuples): above the bound the kernel
+    strategy raises with a pointer to ``strategy="relational"`` (whose
+    broadcast build side never materializes on the driver as Python
+    objects) instead of OOMing the driver.
 
     ``contaminated`` is true when ``overlap_frac > max_overlap_frac`` — the
     default 0.0 flags ANY shared n-gram (the conservative standard). Filter
@@ -184,8 +200,18 @@ def decontaminate(
     if strategy == "kernel":
         import pandas as pd
 
+        bench_distinct = bench_gram_rows.select("_g").distinct()
+        n_bench = bench_distinct.count()
+        if n_bench > max_bench_grams:
+            raise ValueError(
+                f"decontaminate(strategy='kernel'): benchmark has {n_bench} "
+                f"distinct grams > max_bench_grams={max_bench_grams}; the "
+                "kernel strategy collects the gram set to the driver — use "
+                "strategy='relational' (broadcast join, no driver collect) "
+                "for large benchmarks"
+            )
         bench_set = frozenset(
-            tuple(g.split(" ")) for (g,) in bench_gram_rows.select("_g").distinct().collect()
+            tuple(g.split(" ")) for (g,) in bench_distinct.collect()
         )
         bc = docs.sparkSession.sparkContext.broadcast(bench_set)
         id_type = docs.schema[id_col].dataType.simpleString()

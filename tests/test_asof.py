@@ -328,3 +328,18 @@ def test_same_name_ts_merge_equals_union(spark, direction):
         # 'early' — nearest must pick 'late'; p_far is out of band
         assert got == {"p_on": "early", "p_near_early": None,
                        "p_near_late": "late", "p_far": None}
+
+
+def test_merge_rejects_probe_column_named_build_ts(spark, tiny_df):
+    """A probe payload column sharing build_ts's name (probe_ts !=
+    build_ts) would make pd.merge_asof suffix both — contract error up
+    front instead of a KeyError mid-kernel."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyppi_spark.operators.asof import asof_join_merge
+
+    probe = tiny_df.select(
+        "conv_id", F.col("ts").alias("probe_ts"), F.col("ts").alias("ts")
+    )
+    with pytest.raises(ValueError, match="build-side timestamp name"):
+        asof_join_merge(probe, tiny_df, probe_ts="probe_ts", build_ts="ts")

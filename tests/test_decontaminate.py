@@ -136,3 +136,58 @@ def test_kernel_strategies_equal_relational(spark):
     assert "Exchange" not in ker_r_df._jdf.queryExecution().executedPlan().toString()
     ker_r = ker_r_df.toPandas()
     assert key(rel_r).equals(key(ker_r)[rel_r.columns.tolist()])
+
+
+def test_null_text_consistent_across_strategies(spark):
+    """NULL text is screened as empty (one empty gram) by BOTH strategies —
+    relational posexplode_outer+coalesce must not drop the doc, matching
+    the kernel's (text or "")."""
+    from pyppi_spark.operators.decontaminate import repetition_report
+
+    docs = spark.createDataFrame(
+        [(0, "a normal document with several distinct words inside"),
+         (1, None), (2, "")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([("some benchmark prompt",)], "text string")
+    key = lambda df: df.sort_values("doc_id").reset_index(drop=True)
+    rel = decontaminate(docs, bench, n=8, key="text").toPandas()
+    ker = decontaminate(docs, bench, n=8, strategy="kernel").toPandas()
+    assert len(rel) == 3  # the null-text doc is present in the report
+    assert key(rel).equals(key(ker)[rel.columns.tolist()])
+    rel_r = repetition_report(docs, n=5, key="text").toPandas()
+    ker_r = repetition_report(docs, n=5, strategy="kernel").toPandas()
+    assert len(rel_r) == 3
+    assert key(rel_r).equals(key(ker_r)[rel_r.columns.tolist()])
+
+
+def test_kernel_bench_gram_guard(spark):
+    """Kernel strategy refuses to collect an oversized benchmark gram set,
+    pointing at strategy='relational' instead of OOMing the driver."""
+    import pytest
+
+    with pytest.raises(ValueError, match="relational"):
+        decontaminate(
+            _corpus(spark), _benchmark(spark), n=8, strategy="kernel",
+            max_bench_grams=2,
+        )
+    # under the bound the kernel path still works
+    out = decontaminate(
+        _corpus(spark), _benchmark(spark), n=8, strategy="kernel",
+        max_bench_grams=1000,
+    )
+    assert out.count() == 5
+
+
+def test_pii_stats_null_text(spark):
+    """NULL text → zero counts and has_pii=false (not NULL): a ~has_pii
+    filter must keep null-text docs, by decision rather than 3VL."""
+    from pyppi_spark.functions.text import pii_stats
+
+    docs = spark.createDataFrame([(0, None), (1, "mail me a@b.io")], "doc_id long, text string")
+    s = pii_stats(F.col("text"))
+    out = {r.doc_id: r for r in docs.select("doc_id", *[v.alias(k) for k, v in s.items()]).collect()}
+    assert out[0].n_email == 0 and out[0].has_pii is False
+    assert out[1].has_pii is True
+    kept = docs.where(~pii_stats(F.col("text"))["has_pii"]).count()
+    assert kept == 1

@@ -35,6 +35,13 @@ N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "50000"))
 N_BUCKETS = 128
 LEVELS = (8, 32)
 MEM = {8: "8g", 32: "32g"}
+JOB_DESC = {
+    "features": "the zero-shuffle turn_features + conv_features pipeline",
+    "asof_merge": "the cogrouped-Python as-of merge — pd.merge_asof per "
+    "conversation via applyInPandas, every user turn probed against the full stream",
+    "winnow": "the mapInPandas winnowing-fingerprint kernel (fast rolling "
+    "hash) over every turn's text — the Python-kernel dedup/hygiene path, zero shuffle",
+}
 
 
 def ensure_data() -> None:
@@ -70,6 +77,10 @@ def make_job(part, job_name: str):
       every user turn probed against the full turn stream. Covers the
       Arrow/cogroup execution path the feature job never touches; one
       shuffle per side by design.
+    - ``winnow``: the Python-kernel dedup path (``mapInPandas`` rolling-
+      hash winnowing fingerprints, fast mode) over every turn's text —
+      the 100 TB hygiene pipeline's representative job: doc-local numpy
+      work, zero shuffle, Arrow both ways.
     """
     from pyspark.sql import functions as F
 
@@ -98,6 +109,18 @@ def make_job(part, job_name: str):
 
         def job() -> None:
             out.write.format("noop").mode("overwrite").save()
+
+        return job
+    if job_name == "winnow":
+        from pyppi_spark.operators.dedup import winnow_fingerprints_kernel
+
+        docs = part.select(
+            F.concat_ws("#", "conv_id", "turn_idx").alias("doc_id"), "text"
+        )
+        fp = winnow_fingerprints_kernel(docs, k=7, window=4, hash_mode="fast")
+
+        def job() -> None:
+            fp.write.format("noop").mode("overwrite").save()
 
         return job
     raise ValueError(f"unknown job {job_name!r}")
@@ -345,20 +368,28 @@ def mode_processes(job_name: str = "features") -> None:
             }
         )
         print(json.dumps(rounds[-1]))
+    # the GATE statistic is the MEDIAN round's normalized efficiency: on a
+    # host with ±40% drift, max-of-N of a ratio biases toward PASS when
+    # rounds straddle the threshold; best-of stays as an informational
+    # figure only
     best = max(rounds, key=lambda r: r["eff_normalized"])
-    norm = best["eff_normalized"]
+    med = sorted(rounds, key=lambda r: r["eff_normalized"])[len(rounds) // 2]
+    norm = med["eff_normalized"]
     summary = {
         "mode": "process-isolated (4 JVMs x local[8] vs 1 JVM x local[8] on 1/4 data)",
         "job": job_name,
         "round_efficiencies": [r["eff"] for r in rounds],
         "round_ceilings": [r["ctrl_ceiling"] for r in rounds],
         "round_normalized": [r["eff_normalized"] for r in rounds],
-        "best_eff_raw": best["eff"],
-        "best_round_ceiling": best["ctrl_ceiling"],
+        "best_normalized_informational": best["eff_normalized"],
+        "median_eff_raw": med["eff"],
+        "median_round_ceiling": med["ctrl_ceiling"],
         "normalized_vs_cpu": norm,
         "gate_0.8": norm >= 0.8,
+        "gate_statistic": "median round",
     }
     print(json.dumps(summary))
+    best = med  # report the gate (median) round's rows in the tables below
     cpu_eff = best["ctrl_ceiling"]
 
     suffix = "" if job_name == "features" else f"_{job_name}"
@@ -374,7 +405,7 @@ confound the only way a single box can: **N separate JVM processes**, each
 over **disjoint quarters of the bucket range** of the same balanced table
 ({N_BUCKETS} buckets, {best['quad_turns']:,} turns total) — barrier-started
 (each runner warms up, signals ready, then all start on one marker),
-identical job per node (`{job_name}`: {"the zero-shuffle turn_features + conv_features pipeline" if job_name == "features" else "the cogrouped-Python as-of merge — pd.merge_asof per conversation via applyInPandas, every user turn probed against the full stream"}),
+identical job per node (`{job_name}`: {JOB_DESC[job_name]}),
 noop-write forced, best of {len(best['quad_walls'])} barrier iterations ×
 {len(rounds)} interleaved rounds.
 
@@ -387,8 +418,10 @@ noop-write forced, best of {len(best['quad_walls'])} barrier iterations ×
   {', '.join(str(r['eff']) for r in rounds)})
 - same-minute host CPU ceiling (barrier-started process control, 8→32):
   {cpu_eff}
-- **normalized efficiency: {norm:.3f} — north-rule gate ≥ 0.8:
-  {"PASS" if norm >= 0.8 else "FAIL"}**
+- **normalized efficiency (MEDIAN round — the gate statistic; best-of-N
+  of a ratio would bias PASS under this host's ±40% drift): {norm:.3f} —
+  north-rule gate ≥ 0.8: {"PASS" if norm >= 0.8 else "FAIL"}** (best round
+  informational: {max(r['eff_normalized'] for r in rounds):.3f})
 
 Each 'node' computes a disjoint quarter because the balanced-bucket layout
 makes buckets independent (a pure function of conv_id); the bucket-range
@@ -409,7 +442,7 @@ def main() -> None:
     ap.add_argument("--ready", type=str, default="")
     ap.add_argument("--go", type=str, default="")
     ap.add_argument("--mode", type=str, default="threads", choices=["threads", "processes"])
-    ap.add_argument("--job", type=str, default="features", choices=["features", "asof_merge"])
+    ap.add_argument("--job", type=str, default="features", choices=["features", "asof_merge", "winnow"])
     args = ap.parse_args()
 
     if args.runner_range:
