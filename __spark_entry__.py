@@ -997,6 +997,28 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_report(docs, n=5, key="text")
 
 
+def q_running_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the custom stateful streaming operator
+    (``streaming/sessions.streaming_running_state``): per-event running
+    conversation state via cumulative windows — the per-turn snapshot
+    stream the stateful fold emits when fed one-event micro-batches.
+    Driver-gating this form puts the batch≡stateful semantics (asserted
+    bitwise in tests/test_streaming.py) under the DuckDB oracle too."""
+    from pyppi_spark.streaming.sessions import running_state_batch
+
+    ev = _events(spark, sf_dir)
+    st = running_state_batch(
+        ev, conv_col="user_id", ts_col="ts", role_col="event_type", idx_col="event_id"
+    )
+    # exact int64-µs columns only: a 6dp-rounded mean of µs gaps lands on
+    # half-way boundaries (sum/2 ends in .5µs), the one case the
+    # cross-engine rounding policy cannot absorb
+    return st.select(
+        "user_id", "event_id", "n_turns", "gap_sum_us", "gap_max_us",
+        "last_role", "last_ts_us",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pit_features": q_pit_features,
@@ -1043,6 +1065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pii_stats": q_pii_stats,
         "doc_repetition": q_doc_repetition,
+        "running_state": q_running_state,
     }
 
 
@@ -1746,5 +1769,24 @@ SELECT DISTINCT doc_id,
        min(h) OVER (PARTITION BY doc_id ORDER BY pos
                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
 FROM H
+""",
+        "running_state": """
+WITH G AS (
+  SELECT user_id, event_id, event_type,
+         epoch_us(ts) AS ts_us, ts,
+         (epoch_us(ts) - epoch_us(lag(ts) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id))) AS gap_us
+  FROM events
+)
+SELECT user_id, event_id,
+       row_number() OVER w AS n_turns,
+       coalesce(sum(gap_us) OVER cum, 0)::BIGINT AS gap_sum_us,
+       coalesce(max(gap_us) OVER cum, 0)::BIGINT AS gap_max_us,
+       event_type AS last_role,
+       ts_us AS last_ts_us
+FROM G
+WINDOW w   AS (PARTITION BY user_id ORDER BY ts, event_id),
+       cum AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """,
     }

@@ -33,6 +33,7 @@ HEADLINE = [
     "sessionize",
     "session_window_agg",
     "tumbling_counts",
+    "running_state",
     "time_features",
     "asof_tolerance",
     "lag_lead",

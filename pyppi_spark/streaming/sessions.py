@@ -62,6 +62,50 @@ def streaming_session_aggregates(
     )
 
 
+def running_state_batch(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+    role_col: str = "role",
+    idx_col: str = "turn_idx",
+) -> DataFrame:
+    """Batch form of ``streaming_running_state``: one row per TURN carrying
+    the running per-conversation state after that turn (the stateful
+    operator's snapshot stream when fed one-turn micro-batches in event
+    order). Pure cumulative windows over one exchange — fully relational,
+    so the batch≡stateful semantics sit under the driver's DuckDB oracle
+    gate (query ``running_state``), not just pytest.
+
+    Exactness contract shared with the stateful path: gaps accumulate as
+    int64 µs and are divided once at the end, so the two forms agree
+    bitwise (asserted in tests/test_streaming.py)."""
+    from pyspark.sql import Window
+
+    from ..functions.time import epoch_micros
+
+    w = Window.partitionBy(conv_col).orderBy(ts_col, idx_col)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t = epoch_micros(ts_col)
+    gap = t - F.lag(t).over(w)
+    n_gaps = F.count("_gap").over(cum)
+    return df.withColumn("_gap", gap).select(
+        F.col(conv_col),
+        F.col(idx_col),
+        F.row_number().over(w).cast("long").alias("n_turns"),
+        # exact int64-µs currency first (cross-engine hash-stable; a
+        # 6dp-rounded mean of µs values lands on half-way boundaries),
+        # derived seconds alongside for callers
+        F.coalesce(F.sum("_gap").over(cum), F.lit(0)).cast("long").alias("gap_sum_us"),
+        F.coalesce(F.max("_gap").over(cum), F.lit(0)).cast("long").alias("gap_max_us"),
+        F.when(n_gaps > 0, F.sum("_gap").over(cum) / F.lit(1e6) / n_gaps).alias(
+            "gap_mean_s"
+        ),
+        F.when(n_gaps > 0, F.max("_gap").over(cum) / F.lit(1e6)).alias("gap_max_s"),
+        F.col(role_col).alias("last_role"),
+        t.alias("last_ts_us"),
+    )
+
+
 RUNNING_STATE_OUTPUT = (
     "conv_id string, n_turns long, gap_mean_s double, gap_max_s double, "
     "last_role string, last_ts_us long"

@@ -98,3 +98,42 @@ def test_streaming_running_state_matches_batch_final(spark, tiny_pdf, tmp_path):
         g = got[c].fillna(-1).tolist()
         w = want[c].fillna(-1).tolist()
         assert g == w, c  # exact: int64-µs accumulation both sides
+
+
+def test_running_state_batch_equals_stateful_final(spark, tiny_pdf, tmp_path):
+    """The driver-gated batch form (cumulative windows, query
+    'running_state') agrees bitwise with the stateful fold's final
+    snapshot: last batch row per conversation == applyInPandasWithState
+    output (exact int64-µs both sides)."""
+    from pyppi_spark.streaming.sessions import running_state_batch, streaming_running_state
+
+    src = str(tmp_path / "src_state_batch")
+    spark.createDataFrame(tiny_pdf, schema=TRANSCRIPTS).write.parquet(src)
+    stream = spark.readStream.schema(TRANSCRIPTS).parquet(src)
+    q = (
+        streaming_running_state(stream)
+        .writeStream.format("memory")
+        .queryName("running_state_b")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("running_state_b").orderBy("conv_id").toPandas()
+        .groupby("conv_id").last().reset_index()
+    )
+
+    batch = running_state_batch(
+        spark.createDataFrame(tiny_pdf, schema=TRANSCRIPTS)
+    ).toPandas()
+    final = (
+        batch.sort_values(["conv_id", "n_turns"], kind="mergesort")
+        .groupby("conv_id").last().reset_index()
+    )
+    assert got["conv_id"].tolist() == final["conv_id"].tolist()
+    assert got["n_turns"].tolist() == final["n_turns"].tolist()
+    assert got["last_ts_us"].tolist() == final["last_ts_us"].tolist()
+    assert got["last_role"].tolist() == final["last_role"].tolist()
+    for c in ["gap_mean_s", "gap_max_s"]:
+        assert got[c].fillna(-1).tolist() == final[c].fillna(-1).tolist(), c
