@@ -205,7 +205,29 @@ def asof_join_merge(
     prefix: str = "matched_",
     direction: str = "backward",
     tolerance: float | None = None,
+    chunk_rows: int | None = None,
 ) -> DataFrame:
+    """``chunk_rows``: opt-in chunked-with-overlap processing for
+    pathological single entities (SURVEY §7.3 — a 10⁶-turn conversation is
+    one Arrow group under cogroup, the merge strategy's documented
+    straggler/memory risk). Probe rows are split into per-entity chunks of
+    ``chunk_rows`` by ``row_number`` over ``probe_ts``; each chunk's
+    cogroup sees only the build rows it can match:
+
+    - builds with ``lo ≤ ts ≤ hi`` (the chunk's probe-ts range), plus
+    - **carry-in**: the max-``(ts, tiebreak)`` build with ``ts < lo``
+      (backward/nearest — the only earlier build any probe in the chunk
+      can match, in both inclusive and strict modes), plus
+    - **carry-out**: the min-``(ts, tiebreak)`` build with ``ts > hi``
+      (forward/nearest mirror).
+
+    Per-chunk candidate sets therefore CONTAIN each probe's true global
+    match per direction, so the chunk-local merge returns exactly the
+    unchunked result (tested, all directions × tie modes × tolerance) while
+    no Arrow group exceeds ~``chunk_rows`` probe rows + the in-range
+    builds. Cost: one extra window pass + a bounds join on the entity key —
+    the giant-group fallback path, leave ``None`` for the single-cogroup
+    plan."""
     by = list(by)
     payload = list(payload) if payload is not None else _default_payload(build, by, build_ts, tiebreak)
     probe_cols = [c for c in probe.columns if c not in by and c != probe_ts]
@@ -214,6 +236,14 @@ def asof_join_merge(
             "asof_join_merge reserves the column name '_match_bt' internally — "
             "rename the colliding probe/build/payload column"
         )
+    if chunk_rows is not None:
+        chunk_reserved = {"_chunk", "_lo", "_hi", "_s"}
+        clash = chunk_reserved & (set(probe.columns) | set(build.columns))
+        if clash:
+            raise ValueError(
+                f"asof_join_merge(chunk_rows=...) reserves column names "
+                f"{sorted(clash)} internally — rename these columns"
+            )
     if probe_ts != build_ts and build_ts in probe_cols:
         # pd.merge_asof would suffix BOTH columns named build_ts (the
         # probe's passthrough and the build key), so the output projection
@@ -301,9 +331,85 @@ def asof_join_merge(
                 m[c] = m[c].where(~out_of_band)
         return m[out_names]
 
+    if chunk_rows is None:
+        return (
+            probe.groupBy(*by)
+            .cogroup(build.groupBy(*by))
+            .applyInPandas(merge, schema=schema)
+        )
+
+    # chunked-with-overlap: split probes, replicate only the build rows a
+    # chunk can match (range + direction-appropriate carry rows)
+    w = Window.partitionBy(*by).orderBy(probe_ts)
+    p2 = probe.withColumn(
+        "_chunk", F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(chunk_rows))
+    )
+    # bounds columns get FRESH names (and thus attribute ids): probe/build
+    # commonly derive from the same plan, and bounds derives from p2 —
+    # shared ids would make the join keys and _chunk ambiguous
+    bounds = p2.groupBy(*by, "_chunk").agg(
+        F.min(probe_ts).alias("_lo"), F.max(probe_ts).alias("_hi")
+    )
+    bounds = bounds.select(
+        *[F.col(c).alias(f"_b_{c}") for c in by],
+        F.col("_chunk").alias("_b_chunk"),
+        "_lo",
+        "_hi",
+    )
+    bcols = build.columns
+    # dataset-alias-qualified keys: probe and build commonly derive from
+    # the same plan, and bounds derives from probe — the self-join
+    # ambiguity check rejects unqualified (and even plan-id-hinted)
+    # references, so qualify through explicit Dataset aliases
+    l, r = build.alias("_asof_chl"), bounds.alias("_asof_chr")
+    cond = None
+    for c in by:
+        eq = F.col(f"_asof_chl.{c}") == F.col(f"_asof_chr._b_{c}")
+        cond = eq if cond is None else (cond & eq)
+    joined = l.join(r, cond).select(
+        *[F.col(f"_asof_chl.{c}") for c in bcols],
+        F.col("_b_chunk").alias("_chunk"),
+        "_lo",
+        "_hi",
+    )
+    pieces = [
+        joined.where(
+            (F.col(build_ts) >= F.col("_lo")) & (F.col(build_ts) <= F.col("_hi"))
+        ).select(*bcols, "_chunk")
+    ]
+    order_struct = F.struct(
+        F.col(build_ts), (F.col(tiebreak) if tiebreak else F.lit(0)).alias("_ord_tie")
+    )
+    row_struct = F.struct(*[F.col(c) for c in bcols])
+    if direction in ("backward", "nearest"):
+        pieces.append(
+            joined.where(F.col(build_ts) < F.col("_lo"))
+            .groupBy(*by, "_chunk")
+            .agg(F.max_by(row_struct, order_struct).alias("_s"))
+            .select(*[F.col(f"_s.{c}").alias(c) for c in bcols], "_chunk")
+        )
+    if direction in ("forward", "nearest"):
+        pieces.append(
+            joined.where(F.col(build_ts) > F.col("_hi"))
+            .groupBy(*by, "_chunk")
+            .agg(F.min_by(row_struct, order_struct).alias("_s"))
+            .select(*[F.col(f"_s.{c}").alias(c) for c in bcols], "_chunk")
+        )
+    build_aug = pieces[0]
+    for p in pieces[1:]:
+        build_aug = build_aug.unionByName(p)
+    # fresh attribute ids (rename round-trip → new ExprId per column, the
+    # align.py trick): when probe and build derive from one plan, the
+    # cogroup's two children would otherwise share ExprIds through the
+    # bounds join and trip the ambiguous-self-join check
+    aug_cols = build_aug.columns
+    build_aug = build_aug.select(
+        *[F.col(c).alias(f"_t_{i}") for i, c in enumerate(aug_cols)]
+    ).select(*[F.col(f"_t_{i}").alias(c) for i, c in enumerate(aug_cols)])
+    keys = list(by) + ["_chunk"]
     return (
-        probe.groupBy(*by)
-        .cogroup(build.groupBy(*by))
+        p2.groupBy(*keys)
+        .cogroup(build_aug.groupBy(*keys))
         .applyInPandas(merge, schema=schema)
     )
 

@@ -343,3 +343,95 @@ def test_merge_rejects_probe_column_named_build_ts(spark, tiny_df):
     )
     with pytest.raises(ValueError, match="build-side timestamp name"):
         asof_join_merge(probe, tiny_df, probe_ts="probe_ts", build_ts="ts")
+
+
+def test_merge_chunked_equals_unchunked(spark):
+    """chunk_rows splits probes and carries only the boundary build rows:
+    the result must be identical to the single-cogroup plan across all
+    directions × tie modes × tolerance (ties on both sides planted)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyppi_spark.operators.asof import asof_join_merge
+
+    rng = np.random.default_rng(7)
+    probe_rows, build_rows = [], []
+    for c in range(5):
+        for i in range(int(rng.integers(5, 40))):
+            build_rows.append((f"c{c}", float(rng.integers(0, 50)), i, f"p{i % 3}"))
+        for j in range(int(rng.integers(5, 40))):
+            probe_rows.append((f"c{c}", float(rng.integers(0, 50)), j))
+    build = spark.createDataFrame(
+        build_rows, "conv_id string, ts double, turn_idx long, val string"
+    )
+    probe = spark.createDataFrame(
+        probe_rows, "conv_id string, probe_ts double, probe_id long"
+    )
+    key = lambda df: df.sort_values(
+        ["conv_id", "probe_ts", "probe_id"], kind="mergesort"
+    ).reset_index(drop=True)
+    for direction in ("backward", "forward", "nearest"):
+        for inclusive in (True, False):
+            for tol in (None, 5.0):
+                kw = dict(
+                    probe_ts="probe_ts", build_ts="ts", by=("conv_id",),
+                    payload=["val", "ts"], tiebreak="turn_idx",
+                    inclusive=inclusive, direction=direction, tolerance=tol,
+                )
+                a = asof_join_merge(probe, build, **kw).toPandas()
+                b = asof_join_merge(probe, build, chunk_rows=4, **kw).toPandas()
+                pd.testing.assert_frame_equal(
+                    key(a)[sorted(a.columns)], key(b)[sorted(b.columns)],
+                    obj=f"{direction} inclusive={inclusive} tol={tol}",
+                )
+
+
+def test_merge_chunked_giant_conversation(spark):
+    """A 10^6-turn single conversation completes under capped Arrow groups
+    (chunk_rows bounds each cogroup) and every probe matches its known
+    backward neighbor."""
+    from pyspark.sql import functions as F
+    from pyppi_spark.operators.asof import asof_join_merge
+
+    n = 1_000_000
+    build = spark.range(n).select(
+        F.lit("giant").alias("conv_id"),
+        (F.col("id") * 2.0).alias("ts"),
+        F.col("id").alias("turn_idx"),
+        (F.col("id") % 7).cast("string").alias("val"),
+    )
+    probe = spark.range(0, n, 10).select(
+        F.lit("giant").alias("conv_id"),
+        (F.col("id") * 2.0 + 1.0).alias("probe_ts"),
+        F.col("id").alias("probe_id"),
+    )
+    out = asof_join_merge(
+        probe, build, probe_ts="probe_ts", build_ts="ts", by=("conv_id",),
+        payload=["ts", "val"], tiebreak="turn_idx", chunk_rows=10_000,
+    )
+    agg = out.select(
+        F.sum((F.col("matched_ts") == F.col("probe_ts") - 1.0).cast("long")).alias("ok"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert agg.n == 100_000 and agg.ok == 100_000
+
+
+def test_merge_chunked_shared_lineage(spark, tiny_df):
+    """Probe and build derived from the SAME plan (the common production
+    shape): the chunked path's bounds join and cogroup must not trip the
+    ambiguous-self-join check, and must equal the unchunked result."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyppi_spark.operators.asof import asof_join_merge
+
+    probe = tiny_df.where(F.col("role") == "user").select(
+        "conv_id", F.col("ts").alias("probe_ts"), F.col("turn_idx").alias("probe_idx")
+    )
+    build = tiny_df.select("conv_id", "ts", "turn_idx", "role")
+    kw = dict(by=("conv_id",), payload=["role"], tiebreak="turn_idx")
+    key = lambda df: df.sort_values(
+        ["conv_id", "probe_ts", "probe_idx"], kind="mergesort"
+    ).reset_index(drop=True)
+    a = asof_join_merge(probe, build, **kw).toPandas()
+    b = asof_join_merge(probe, build, chunk_rows=3, **kw).toPandas()
+    pd.testing.assert_frame_equal(key(a)[sorted(a.columns)], key(b)[sorted(b.columns)])
