@@ -108,6 +108,108 @@ def _nw_align(
     return ops, total
 
 
+def _nw_lastrow(
+    l_text,
+    l_role,
+    r_text_arr: np.ndarray,
+    r_role_arr: np.ndarray,
+    match: float,
+    sub_role: float,
+    mismatch: float,
+    gap: float,
+) -> np.ndarray:
+    """Final DP row of NW(l, r) in O(len(r)) memory (same vectorized
+    prefix-max recurrence as ``_nw_align``, keeping only two rows)."""
+    m = len(r_text_arr)
+    Hprev = np.arange(m + 1, dtype=np.float64) * gap
+    jidx = np.arange(1, m + 1, dtype=np.float64)
+    for i in range(len(l_text)):
+        s = np.where(
+            r_text_arr == l_text[i],
+            match,
+            np.where(r_role_arr == l_role[i], sub_role, mismatch),
+        ).astype(np.float64)
+        c = np.maximum(Hprev[:-1] + s, Hprev[1:] + gap)
+        h0 = Hprev[0] + gap
+        g = np.maximum.accumulate(np.concatenate(([h0], c - jidx * gap)))
+        Hcur = np.empty(m + 1)
+        Hcur[0] = h0
+        Hcur[1:] = g[1:] + jidx * gap
+        Hprev = Hcur
+    return Hprev
+
+
+def _nw_align_linear(
+    l_text: list[str],
+    r_text: list[str],
+    l_role: list[str],
+    r_role: list[str],
+    match: float,
+    sub_role: float,
+    mismatch: float,
+    gap: float,
+    base_cells: int = 256 * 256,
+) -> tuple[list[tuple[int | None, int | None, str, float]], float]:
+    """Hirschberg divide-and-conquer NW: an OPTIMAL alignment in
+    O(min-side) memory instead of the full O(n·m) matrix — the
+    memory-bounded path for pathological giant conversation pairs
+    (SURVEY §7.3: a 10⁶-turn pair's full matrix is ~8 TB; this holds two
+    rows). ~2× the full-DP arithmetic, same O(n·m) time.
+
+    Split rule: halve the left sequence, score forward(top) +
+    backward(bottom) last rows, cut the right sequence at the FIRST
+    argmax (deterministic). Subproblems at or below ``base_cells`` drop
+    into the full-DP traceback (``_nw_align``), so tie-breaking inside
+    blocks follows the same diagonal>up>left priority. The total score
+    equals the full DP's optimum (bit-equal for exactly-representable
+    parameters, e.g. the integral defaults — tested); among CO-OPTIMAL
+    alignments the chosen op sequence may differ from the full-DP
+    traceback at block boundaries, which is the documented trade for
+    linear memory."""
+    ops: list[tuple[int | None, int | None, str, float]] = []
+
+    def rec(li: int, lj: int, ri: int, rj: int) -> None:
+        n, m = lj - li, rj - ri
+        if n == 0:
+            ops.extend((None, j, "ins", float(gap)) for j in range(ri, rj))
+            return
+        if m == 0:
+            ops.extend((i, None, "del", float(gap)) for i in range(li, lj))
+            return
+        if n * m <= base_cells or n <= 2:
+            sub_ops, _ = _nw_align(
+                l_text[li:lj], r_text[ri:rj], l_role[li:lj], r_role[ri:rj],
+                match, sub_role, mismatch, gap,
+            )
+            ops.extend(
+                (
+                    a + li if a is not None else None,
+                    b + ri if b is not None else None,
+                    kind,
+                    ps,
+                )
+                for a, b, kind, ps in sub_ops
+            )
+            return
+        h = li + n // 2
+        r_arr = np.array(r_text[ri:rj], dtype=object)
+        ro_arr = np.array(r_role[ri:rj], dtype=object)
+        fwd = _nw_lastrow(
+            l_text[li:h], l_role[li:h], r_arr, ro_arr, match, sub_role, mismatch, gap
+        )
+        bwd = _nw_lastrow(
+            l_text[h:lj][::-1], l_role[h:lj][::-1], r_arr[::-1], ro_arr[::-1],
+            match, sub_role, mismatch, gap,
+        )
+        k = int(np.argmax(fwd + bwd[::-1]))  # first max → deterministic
+        rec(li, h, ri, ri + k)
+        rec(h, lj, ri + k, rj)
+
+    rec(0, len(l_text), 0, len(r_text))
+    total = float(sum(p for _, _, _, p in ops)) if ops else 0.0
+    return ops, total
+
+
 def align_conversations(
     left: DataFrame,
     right: DataFrame,
@@ -120,6 +222,7 @@ def align_conversations(
     sub_role: float = 0.0,
     mismatch: float = -1.0,
     gap: float = -1.0,
+    max_dp_cells: int = 25_000_000,
 ) -> DataFrame:
     """Align two versions of every conversation; one output row per aligned
     position carrying the matched turn indexes, the op, its score, and the
@@ -129,6 +232,11 @@ def align_conversations(
     conversation pair is a single Arrow group — the documented straggler
     risk is a pathologically long single conversation (DP is O(n·m) in it),
     the same whole-entity-locality trade the merge as-of strategy makes.
+    Pairs whose matrix would exceed ``max_dp_cells`` (default 25M cells ≈
+    200 MB) switch to the Hirschberg linear-memory DP
+    (``_nw_align_linear``): same optimal total score, O(turns) memory,
+    co-optimal op sequences may differ from the full traceback at block
+    boundaries.
     """
     cols = [conv_col, ts_col, idx_col, text_col, role_col]
     # the right side gets FRESH attribute ids (alias → new ExprId): when
@@ -144,16 +252,16 @@ def align_conversations(
         l = l.sort_values([ts_col, idx_col], kind="mergesort") if len(l) else None
         r = r.sort_values([ts_col, idx_col], kind="mergesort") if len(r) else None
         cid = (l if l is not None else r)[conv_col].iloc[0]
-        ops, total = _nw_align(
-            l[text_col].tolist() if l is not None else [],
-            r[text_col].tolist() if r is not None else [],
-            l[role_col].tolist() if l is not None else [],
-            r[role_col].tolist() if r is not None else [],
-            match,
-            sub_role,
-            mismatch,
-            gap,
+        lt = l[text_col].tolist() if l is not None else []
+        rt = r[text_col].tolist() if r is not None else []
+        lr = l[role_col].tolist() if l is not None else []
+        rr = r[role_col].tolist() if r is not None else []
+        algo = (
+            _nw_align_linear
+            if len(lt) * len(rt) > max_dp_cells
+            else _nw_align
         )
+        ops, total = algo(lt, rt, lr, rr, match, sub_role, mismatch, gap)
         l_idx = l[idx_col].to_numpy() if l is not None else np.array([], dtype=np.int64)
         r_idx = r[idx_col].to_numpy() if r is not None else np.array([], dtype=np.int64)
         return pd.DataFrame(

@@ -149,3 +149,56 @@ def test_kernel_non_integral_scoring_params():
         assert total <= opt + 1e-6 and total >= opt - 1e-6 * (1 + len(lt) + len(rt))
         assert [a for a, _, _, _ in ops if a is not None] == list(range(len(lt)))
         assert [b for _, b, _, _ in ops if b is not None] == list(range(len(rt)))
+
+
+def test_hirschberg_linear_equals_full_dp_total():
+    """The linear-memory Hirschberg path returns an OPTIMAL alignment:
+    total score bit-equal to the full DP (integral params → exact), ops a
+    valid monotone alignment covering both sequences exactly once."""
+    import numpy as np
+    from pyppi_spark.operators.align import _nw_align, _nw_align_linear
+
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        n, m = int(rng.integers(0, 40)), int(rng.integers(0, 40))
+        lt = [f"t{int(x)}" for x in rng.integers(0, 6, n)]
+        rt = [f"t{int(x)}" for x in rng.integers(0, 6, m)]
+        lro = [f"r{int(x)}" for x in rng.integers(0, 2, n)]
+        rro = [f"r{int(x)}" for x in rng.integers(0, 2, m)]
+        args = (lt, rt, lro, rro, 2.0, 0.0, -1.0, -1.0)
+        ops_full, tot_full = _nw_align(*args)
+        # base_cells=1 forces the divide-and-conquer everywhere
+        ops_lin, tot_lin = _nw_align_linear(*args, base_cells=1)
+        assert tot_lin == tot_full, trial
+        # validity: left positions of match/sub/del ops are 0..n-1 in
+        # order; right positions of match/sub/ins are 0..m-1 in order
+        assert [a for a, _, k, _ in ops_lin if k in ("match", "sub", "del")] == list(range(n))
+        assert [b for _, b, k, _ in ops_lin if k in ("match", "sub", "ins")] == list(range(m))
+        # per-op scores are consistent with the op kinds
+        for a, b, k, ps in ops_lin:
+            if k in ("match", "sub"):
+                want = 2.0 if lt[a] == rt[b] else (0.0 if lro[a] == rro[b] else -1.0)
+                assert ps == want and (k == "match") == (lt[a] == rt[b])
+            else:
+                assert ps == -1.0
+        # determinism
+        assert _nw_align_linear(*args, base_cells=1)[0] == ops_lin
+
+
+def test_align_conversations_linear_mode_end_to_end(spark, tiny_df):
+    """Forcing max_dp_cells=1 routes every pair through Hirschberg: the
+    per-conversation total_score must equal the full-DP run (op sequences
+    may differ only among co-optimal alignments)."""
+    from pyspark.sql import functions as F
+    from pyppi_spark.operators.align import align_conversations
+
+    right = tiny_df.where(F.col("turn_idx") % 3 != 0)  # edited copy
+    full = align_conversations(tiny_df, right)
+    lin = align_conversations(tiny_df, right, max_dp_cells=1)
+    key = lambda df: {r.conv_id: r.total for r in df.groupBy("conv_id").agg(
+        F.first("total_score").alias("total")).collect()}
+    assert key(full) == key(lin)
+    # both runs cover every left turn exactly once
+    n_left = tiny_df.count()
+    for out in (full, lin):
+        assert out.where(F.col("left_idx").isNotNull()).count() == n_left
