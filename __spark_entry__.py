@@ -176,6 +176,48 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunked-with-overlap merge strategy (giant-group fallback,
+    SURVEY §7.3): identical semantics to ``asof_join`` but with probe rows
+    split into per-user chunks and only carry-in/range build rows shipped
+    to each cogroup — value-oracled against the SAME DuckDB ASOF JOIN, so
+    the chunk/carry machinery is under the driver gate, not just pytest.
+    chunk_rows=16 at sf0.01 exercises many chunk boundaries per user."""
+    from pyppi_spark.operators.asof import asof_join_merge
+
+    ev = _events(spark, sf_dir)
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by("value", "event_id").alias("value"),
+            F.max("event_id").alias("click_event_id"),
+        )
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("error_id")
+    )
+    out = asof_join_merge(
+        errors,
+        clicks,
+        probe_ts="ts",
+        build_ts="ts",
+        by=("user_id",),
+        payload=["value", "click_event_id"],
+        inclusive=True,
+        tiebreak="click_event_id",
+        prefix="last_click_",
+        chunk_rows=16,
+    )
+    return out.select(
+        "user_id",
+        _us("ts").alias("error_ts_us"),
+        "error_id",
+        F.round("last_click_value", 6).alias("last_click_value"),
+        F.col("last_click_click_event_id").alias("last_click_event_id"),
+    )
+
+
 def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2/J10 forward as-of: for each click, the first error at-or-after it
     (per user) — the mirror of the PIT backward join; ties on the error
@@ -1029,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_lead": q_lag_lead,
         "backfill": q_backfill,
         "asof_join": q_asof_join,
+        "asof_chunked": q_asof_chunked,
         "asof_forward": q_asof_forward,
         "asof_nearest": q_asof_nearest,
         "asof_tolerance": q_asof_tolerance,
@@ -1391,6 +1434,18 @@ SELECT user_id, event_id,
 FROM events
 """,
         "asof_join": """
+WITH clicks AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS value, max(event_id) AS click_event_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), errors AS (
+  SELECT user_id, ts, event_id AS error_id FROM events WHERE event_type = 'error'
+)
+SELECT e.user_id, epoch_us(e.ts) AS error_ts_us, e.error_id,
+       round(c.value, 6) AS last_click_value,
+       c.click_event_id AS last_click_event_id
+FROM errors e ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts >= c.ts
+""",
+        "asof_chunked": """
 WITH clicks AS (
   SELECT user_id, ts, arg_max(value, event_id) AS value, max(event_id) AS click_event_id
   FROM events WHERE event_type = 'click' GROUP BY user_id, ts

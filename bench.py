@@ -41,6 +41,7 @@ HEADLINE = [
     "asof_join",
     "asof_forward",
     "asof_nearest",
+    "asof_chunked",
     "user_features",
     "range_join",
     "spread_agg",

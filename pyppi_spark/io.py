@@ -47,8 +47,13 @@ def balanced_assignment(
     hashed by conv_id) — the DEFAULT, because collecting the full conv-size
     histogram is an unbounded driver collect (OOM at 10^12 turns), while
     the top-100k covers the Zipf head that actually causes skew and the
-    hashed long tail is balanced by the law of large numbers. Pass ``None``
-    only for exact packing of small corpora.
+    hashed long tail is balanced by the law of large numbers. The driver
+    collect in the default path is bounded by construction
+    (``limit(heavy_hitters)`` rows of (id, count) — ~MBs at the default).
+    ``heavy_hitters=None`` (exact packing, unbounded ``sizes.collect()``)
+    is a TEST-SCALE-ONLY mode: it is the one intentional exception to the
+    repo's no-unbounded-collect invariant and must not be used at corpus
+    scale.
     """
     sizes = df.groupBy(conv_col).count()
     if heavy_hitters is not None:
