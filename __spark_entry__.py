@@ -1061,6 +1061,21 @@ def q_running_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END document-hygiene composition under the driver gate:
+    quality + language screens, exact (normalized-content) dedup, then
+    MinHash-LSH -> exact-Jaccard near-dedup with transitive survivor
+    selection (plans.training_set.clean_documents). Oracle = the same
+    screens + brute-force all-pairs Jaccard + recursive-CTE components in
+    DuckDB (LSH miss probability ~6e-15 at these parameters, so the
+    survivor sets must match exactly)."""
+    from pyppi_spark.plans.training_set import clean_documents
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    out = clean_documents(docs, min_quality=0.3, languages=("en",), jaccard_threshold=0.8)
+    return out.select("doc_id", "quality", "lang_pred")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pit_features": q_pit_features,
@@ -1109,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_stats": q_pii_stats,
         "doc_repetition": q_doc_repetition,
         "running_state": q_running_state,
+        "clean_docs": q_clean_docs,
     }
 
 
@@ -1333,6 +1349,54 @@ T AS (
 )
 SELECT query_id, neighbor_id, rk::BIGINT AS rk, cos_sim FROM T WHERE rk <= {k}
 """
+
+
+def _clean_docs_sql(score_cols: str, lang_case: str, min_quality: float = 0.3, threshold: float = 0.8) -> str:
+    """Hygiene screens + exact dedup + brute-force near-dedup ground truth
+    (the all-pairs Jaccard + recursive-components scheme of
+    ``_ngram_near_dedup_sql``, applied after the quality/lang/exact-dedup
+    stages exactly as ``clean_documents`` composes them)."""
+    return rf"""
+WITH RECURSIVE QL AS (
+  SELECT doc_id, text,
+    round(0.4 * least(length(text) / 200.0, 1.0)
+        + 0.4 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / greatest(length(text), 1))
+        + 0.2 * (1.0 - least((length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / greatest(length(text), 1)) * 4.0, 1.0)), 6) AS quality,
+    {{lang_case}} AS lang_pred
+  FROM (SELECT doc_id, text, {{score_cols}} FROM documents)
+), K AS (
+  SELECT doc_id, text, quality, lang_pred FROM QL
+  WHERE quality >= {min_quality} AND lang_pred IN ('en')
+), X AS (
+  SELECT doc_id, text, quality, lang_pred FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+      ORDER BY doc_id) AS rn
+    FROM K) WHERE rn = 1
+), W AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM X
+), S AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         ELSE list_distinct(list_transform(generate_series(1, len(ws)-2),
+                            i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))
+    END AS sh
+  FROM W
+), P AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM S x JOIN S y ON x.doc_id < y.doc_id
+  WHERE len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(x.sh || y.sh))::DOUBLE
+        >= {threshold}
+), N AS (SELECT a AS n FROM P UNION SELECT b FROM P
+), E AS (SELECT a AS s, b AS d FROM P UNION SELECT b, a FROM P
+), R(n, l) AS (
+  SELECT n, n FROM N
+  UNION
+  SELECT e.d, r.l FROM R r JOIN E e ON r.n = e.s
+), C AS (SELECT n, min(l) AS rep FROM R GROUP BY n)
+SELECT doc_id, quality, lang_pred FROM X
+WHERE doc_id NOT IN (SELECT n FROM C WHERE n <> rep)
+""".format(lang_case=lang_case, score_cols=score_cols)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1844,4 +1908,5 @@ WINDOW w   AS (PARTITION BY user_id ORDER BY ts, event_id),
        cum AS (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """,
+        "clean_docs": _clean_docs_sql(score_cols, lang_case),
     }
