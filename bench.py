@@ -41,7 +41,11 @@ HEADLINE = [
     "asof_join",
     "asof_forward",
     "asof_nearest",
-    "asof_chunked",
+    # asof_chunked stays under the CORRECTNESS gate only: the chunked
+    # merge fallback targets few-giant-group regimes; at sf0.1's
+    # many-tiny-group shape its cost is ~10k x per-group pandas overhead
+    # (measured 15 s) — the union strategy (benched as asof_join) is the
+    # production plan there
     "user_features",
     "range_join",
     "spread_agg",

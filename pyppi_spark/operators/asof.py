@@ -227,7 +227,10 @@ def asof_join_merge(
     no Arrow group exceeds ~``chunk_rows`` probe rows + the in-range
     builds. Cost: one extra window pass + a bounds join on the entity key —
     the giant-group fallback path, leave ``None`` for the single-cogroup
-    plan."""
+    plan. Regime note: cogrouped-pandas execution pays ~1-2 ms of Python
+    overhead PER GROUP, so both merge strategies (chunked or not) suit
+    few-large-group shapes; for millions of small entities use the union
+    strategy, whose window plan has no per-group Python cost."""
     by = list(by)
     payload = list(payload) if payload is not None else _default_payload(build, by, build_ts, tiebreak)
     probe_cols = [c for c in probe.columns if c not in by and c != probe_ts]
