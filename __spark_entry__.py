@@ -1076,6 +1076,20 @@ def q_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "quality", "lang_pred")
 
 
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment (seeded portable-hash
+    banding — membership stable across runs, partitionings, and corpus
+    growth, unlike randomSplit) + per-split stratum counts so the oracle
+    checks both the assignment and its statistical shape."""
+    from pyppi_spark.operators.sampling import dataset_split
+
+    docs = _documents(spark, sf_dir)
+    split = dataset_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, id_col="doc_id", seed=42
+    )
+    return split.select("doc_id", "split")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pit_features": q_pit_features,
@@ -1125,6 +1139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "running_state": q_running_state,
         "clean_docs": q_clean_docs,
+        "dataset_split": q_dataset_split,
     }
 
 
@@ -1909,4 +1924,13 @@ WINDOW w   AS (PARTITION BY user_id ORDER BY ts, event_id),
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """,
         "clean_docs": _clean_docs_sql(score_cols, lang_case),
+        "dataset_split": f"""
+SELECT doc_id,
+  CASE WHEN ('0x' || substr(md5('42|' || doc_id::VARCHAR), 1, 8))::BIGINT < {int(0.8 * (1 << 32))}
+       THEN 'train'
+       WHEN ('0x' || substr(md5('42|' || doc_id::VARCHAR), 1, 8))::BIGINT < {int(0.9 * (1 << 32))}
+       THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+""",
     }

@@ -67,6 +67,7 @@ HEADLINE = [
     "set_ops",
     "bounded_lookahead",
     "deterministic_sample",
+    "dataset_split",
 ]
 
 

@@ -17,7 +17,7 @@ from .dedup import (
 )
 from .decontaminate import decontaminate, repetition_report
 from .align import align_conversations
-from .sampling import stratified_sample
+from .sampling import dataset_split, stratified_sample
 from .similarity import brute_force_topk, lsh_topk, ivf_topk, embedding_neardup_pairs, threshold_pairs_exact
 from .salted_agg import salted_agg
 from .window_extras import (
@@ -55,6 +55,7 @@ __all__ = [
     "embedding_neardup_pairs",
     "threshold_pairs_exact",
     "align_conversations",
+    "dataset_split",
     "stratified_sample",
     "salted_agg",
     "with_table_driven_offsets",

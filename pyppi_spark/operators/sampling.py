@@ -49,3 +49,47 @@ def stratified_sample(
         .where(F.col("_rk") <= n_per_group)
         .drop("_rk")
     )
+
+
+def dataset_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str,
+    seed: int = 42,
+    hash_mode: str = "portable",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment: each row gets the
+    first split whose cumulative weight bound exceeds its seeded id-hash
+    bucket — a pure function of (seed, id), so membership is stable across
+    runs, partitionings, cluster sizes, AND later re-runs over a grown
+    corpus (rows keep their split when new rows arrive — the property
+    ``randomSplit`` famously lacks). Zero shuffle: one projection.
+
+    Thresholds are exact INTEGER bounds on the 32-bit portable hash
+    (``floor(cum_weight * 2^32)``) — no float comparison, so the oracle
+    (identical md5-prefix arithmetic in SQL) matches bitwise. ``weights``
+    must sum to ~1 (validated); iteration order fixes the band layout, so
+    pass an ordered dict (insertion order is the contract).
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    if hash_mode not in ("portable", "fast"):
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    h = _keyed_hash(id_col, seed, hash_mode)
+    if hash_mode == "fast":
+        # map xxhash64's signed 64-bit output onto the same [0, 2^32) band
+        # domain (portable mode uses the md5-prefix 32-bit value directly)
+        h = F.pmod(h, F.lit(1 << 32))
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        bound = int(cum * (1 << 32))
+        cond = h < F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, out)
