@@ -83,15 +83,18 @@ def lang_id(col: str | Column = "text") -> Column:
         return total
 
     scores = {lang: hits(ms) for lang, ms in LANG_MARKERS.items()}
-    best_lang = F.lit("und")
-    best_score = F.lit(0).cast("long")
-    # deterministic tie-break: iterate in fixed order, strict > keeps earlier
-    for lang in sorted(LANG_MARKERS):
-        sc = scores[lang]
-        is_better = sc > best_score
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(is_better, sc).otherwise(best_score)
-    return best_lang
+    # argmax via one greatest() + an equality CASE chain, first match wins
+    # (same deterministic tie-break as iterating sorted langs with strict
+    # >). The earlier when-chain FOLD nested every prior branch inside the
+    # next, duplicating score subtrees exponentially — the combined
+    # projection blew janino's 64 KB method limit inside fused
+    # sort/project stages and fell back to interpreted execution.
+    m = F.greatest(*[scores[lang] for lang in sorted(LANG_MARKERS)])
+    out = F.when(m == 0, F.lit("und"))
+    langs = sorted(LANG_MARKERS)
+    for lang in langs[:-1]:
+        out = out.when(scores[lang] == m, F.lit(lang))
+    return out.otherwise(F.lit(langs[-1]))
 
 
 def doc_fingerprint(col: str | Column = "text") -> Column:
