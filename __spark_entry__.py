@@ -1090,6 +1090,19 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split.select("doc_id", "split")
 
 
+def q_pipe_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 external-process transform: every document piped through a real
+    subprocess (sed, one process per partition, line protocol with a
+    writer thread) — the reference's external-executable stage shape
+    (pyPPI/surfaceComplementarity/VMD.py:61-71) re-expressed over
+    mapInPandas. Oracle = the same byte-level substitution in SQL."""
+    from pyppi_spark.operators.external import pipe_transform
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    out = pipe_transform(docs, ["sed", "s/a/A/g"], out_col="piped", on_newline="strip")
+    return out.select("doc_id", "piped")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pit_features": q_pit_features,
@@ -1140,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_state": q_running_state,
         "clean_docs": q_clean_docs,
         "dataset_split": q_dataset_split,
+        "pipe_transform": q_pipe_transform,
     }
 
 
@@ -1924,6 +1938,12 @@ WINDOW w   AS (PARTITION BY user_id ORDER BY ts, event_id),
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """,
         "clean_docs": _clean_docs_sql(score_cols, lang_case),
+        "pipe_transform": """
+SELECT doc_id,
+       replace(replace(replace(coalesce(text, ''), chr(13), ' '), chr(10), ' '),
+               'a', 'A') AS piped
+FROM documents
+""",
         "dataset_split": f"""
 SELECT doc_id,
   CASE WHEN ('0x' || substr(md5('42|' || doc_id::VARCHAR), 1, 8))::BIGINT < {int(0.8 * (1 << 32))}

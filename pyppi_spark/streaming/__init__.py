@@ -1,10 +1,14 @@
 from .sessions import (
+    running_state_batch,
+    session_window_aggregates,
     streaming_running_state,
     streaming_session_aggregates,
     streaming_turn_counts,
 )
 
 __all__ = [
+    "running_state_batch",
+    "session_window_aggregates",
     "streaming_running_state",
     "streaming_session_aggregates",
     "streaming_turn_counts",

@@ -69,3 +69,35 @@ def test_image_resize_block_pooling(spark):
     for _, r in out.iterrows():
         plane = fake_image_decode(payloads[r["media_id"]])
         assert abs(np.mean(r.pixels) - plane.mean()) < 1e-4
+
+
+def test_pipe_transform_external_process(spark):
+    """S4 external-process transform: rows piped through a real subprocess
+    (sed) per partition, one line per record, writer-thread protocol."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyppi_spark.operators.external import pipe_transform
+
+    docs = spark.createDataFrame(
+        [(0, "alpha and banana"), (1, "no vowels? ha"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    out = pipe_transform(docs, ["sed", "s/a/A/g"], out_col="up")
+    got = {r.doc_id: r.up for r in out.collect()}
+    assert got[0] == "AlphA And bAnAnA"
+    assert got[1] == "no vowels? hA"
+    assert got[2] == "" and got[3] == ""  # NULL crosses as empty line
+    # newline rejection and strip modes
+    bad = spark.createDataFrame([(0, "two\nlines")], "doc_id long, text string")
+    with pytest.raises(Exception, match="newline"):
+        pipe_transform(bad, ["cat"]).collect()
+    stripped = pipe_transform(bad, ["cat"], on_newline="strip").collect()
+    assert stripped[0].piped == "two lines"
+    # child violating one-line-per-record contract is caught (awk drops
+    # the first line but exits 0; single partition so the shortfall is
+    # guaranteed)
+    with pytest.raises(Exception, match="one-line-per-record"):
+        pipe_transform(docs.coalesce(1), ["awk", "NR>1"]).collect()
+    # failing child surfaces its exit code
+    with pytest.raises(Exception, match="exited"):
+        pipe_transform(docs, ["false"]).collect()
