@@ -69,3 +69,22 @@ def test_small_dim_join_broadcasts(spark, tiny_df):
     plan = _plan(tiny_df.join(dim, "role"))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_running_state_batch_single_exchange(spark, tiny_df):
+    """All cumulative windows of the running-state batch form must share
+    ONE partitioning (one Exchange feeds row_number + sums + max)."""
+    from pyppi_spark.streaming import running_state_batch
+
+    plan = _plan(running_state_batch(tiny_df))
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_dataset_split_no_exchange(spark, tiny_df):
+    """Split assignment is a pure projection — zero shuffle."""
+    from pyppi_spark.operators import dataset_split
+
+    df = dataset_split(
+        tiny_df, {"train": 0.8, "val": 0.2}, id_col="conv_id"
+    )
+    assert "Exchange" not in _plan(df), _plan(df)

@@ -165,14 +165,16 @@ def test_asof_tolerance_vs_bruteforce_all_directions(spark, case):
         want = oracle_asof(
             probes_pdf, pdf, ["text"], direction=direction, tolerance=tol
         ).sort_values("probe_id").reset_index(drop=True)
-        for strategy in ["union", "merge"]:
+        # chunk_rows=2 exercises chunk boundaries + carry rows on every
+        # conversation; must stay oracle-exact like the plain strategies
+        for strategy, extra in [("union", {}), ("merge", {}), ("merge", {"chunk_rows": 2})]:
             got = (
                 asof_join(
                     probes, build, strategy=strategy, payload=["text"],
-                    direction=direction, tolerance=tol,
+                    direction=direction, tolerance=tol, **extra,
                 )
                 .toPandas().sort_values("probe_id").reset_index(drop=True)
             )
             g = got["matched_text"].where(got["matched_text"].notna(), None).tolist()
             w = want["matched_text"].where(want["matched_text"].notna(), None).tolist()
-            assert g == w, f"{strategy}/{direction}: {g} != {w}"
+            assert g == w, f"{strategy}/{extra}/{direction}: {g} != {w}"
