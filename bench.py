@@ -68,6 +68,7 @@ HEADLINE = [
     "bounded_lookahead",
     "deterministic_sample",
     "dataset_split",
+    "pipe_transform",
 ]
 
 
