@@ -45,6 +45,8 @@ def clean_documents(
     max_repetition: float | None = None,
     benchmark: DataFrame | None = None,
     id_col: str = "doc_id",
+    lsh_max_bucket_size: int | None = None,
+    lsh_hot_bucket: str = "error",
 ) -> DataFrame:
     """Document-hygiene stage: quality/language filter, optional PII drop,
     optional repetition filter, optional benchmark decontamination, then
@@ -81,9 +83,17 @@ def clean_documents(
     # old composition dropped every non-min copy anyway, and the exact
     # representative is its cluster's min id — the near-dup component min
     # over representatives equals the global component min.
+    # ``lsh_max_bucket_size``: optional defense-in-depth on top of the
+    # exact-dedup stage — after it, a hot band bucket means near-identical
+    # (not byte-identical) template clusters; 'error' fails fast, 'skip'
+    # trades bounded recall for bounded cost (pairs that survive are still
+    # Jaccard-verified). The census rides the band join's own exchange.
     uniq = exact_dedup(kept, text_col="text", id_col=id_col)
     sigs = minhash_signatures(uniq, id_col=id_col)
-    cands = minhash_lsh_candidates(sigs, id_col=id_col, bands=32, rows_per_band=2)
+    cands = minhash_lsh_candidates(
+        sigs, id_col=id_col, bands=32, rows_per_band=2,
+        max_bucket_size=lsh_max_bucket_size, hot_bucket=lsh_hot_bucket,
+    )
     dups = ngram_jaccard_pairs(uniq, cands, id_col=id_col, threshold=jaccard_threshold)
     return near_dedup_representatives(uniq, dups, id_col=id_col)
 
