@@ -1090,6 +1090,18 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split.select("doc_id", "split")
 
 
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-ball near-dup join (Manku et al. block-split):
+    pairs within Hamming distance 6 of each other's 64-bit SimHash.
+    Candidate generation is pigeonhole-EXACT (8 blocks > 6), so the
+    oracle is the brute-force all-pairs popcount over the identical
+    portable simhash values — the sets must match exactly."""
+    from pyppi_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = _documents(spark, sf_dir)
+    return simhash_near_dup_pairs(docs, max_hamming=6, hash_mode="portable")
+
+
 def q_pipe_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 external-process transform: every document piped through a real
     subprocess (sed, one process per partition, line protocol with a
@@ -1154,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_docs": q_clean_docs,
         "dataset_split": q_dataset_split,
         "pipe_transform": q_pipe_transform,
+        "simhash_near_dup": q_simhash_near_dup,
     }
 
 
@@ -1938,6 +1951,15 @@ WINDOW w   AS (PARTITION BY user_id ORDER BY ts, event_id),
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """,
         "clean_docs": _clean_docs_sql(score_cols, lang_case),
+        "simhash_near_dup": f"""
+WITH SH AS ({_simhash_sql()})
+SELECT x.doc_id AS a, y.doc_id AS b,
+       (bit_count(xor(x.simhash_hi, y.simhash_hi))
+        + bit_count(xor(x.simhash_lo, y.simhash_lo)))::BIGINT AS hamming
+FROM SH x JOIN SH y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash_hi, y.simhash_hi))
+      + bit_count(xor(x.simhash_lo, y.simhash_lo)) <= 6
+""",
         "pipe_transform": """
 SELECT doc_id,
        replace(replace(replace(coalesce(text, ''), chr(13), ' '), chr(10), ' '),

@@ -69,6 +69,7 @@ HEADLINE = [
     "deterministic_sample",
     "dataset_split",
     "pipe_transform",
+    "simhash_near_dup",
 ]
 
 

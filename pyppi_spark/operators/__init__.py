@@ -4,6 +4,7 @@ from .backfill import ffill, bfill
 from .asof import asof_join, asof_join_union, asof_join_merge
 from .range_join import range_join
 from .dedup import (
+    simhash_near_dup_pairs,
     exact_dedup,
     minhash_signatures,
     minhash_lsh_candidates,
@@ -41,6 +42,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_candidates",
     "simhash64",
+    "simhash_near_dup_pairs",
     "ngram_jaccard_pairs",
     "near_dedup_representatives",
     "near_dup_components",

@@ -762,3 +762,91 @@ def near_dedup_representatives(
     else:
         losers = dup_pairs.select(F.col("b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    hash_mode: str = "fast",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """SimHash Hamming-ball near-dup join (the Google web-dedup scheme,
+    Manku et al.): pairs of documents whose 64-bit SimHashes differ in at
+    most ``max_hamming`` bits → (a, b, hamming).
+
+    Block-split candidate generation is EXACT by pigeonhole: the 64 bits
+    are carved into ``n_blocks > max_hamming`` equal blocks (the smallest
+    divisor of 64 that exceeds ``max_hamming``), so any pair within the
+    ball agrees on ≥1 whole block and is found by a pure equi self-join on
+    (block_idx, block_value); candidates are then verified with the exact
+    popcount distance. Everything is JVM codegen: one explode + one
+    fixed-width-key self-join + a bit_count filter — the same physical
+    family as MinHash-LSH banding, but with zero probability of a missed
+    pair inside the ball.
+
+    ``hash_mode="portable"`` uses the md5-based ``simhash_portable32``
+    halves so the DuckDB oracle reproduces the values bit-for-bit; "fast"
+    uses xxhash64 (production). Scale note: run AFTER ``exact_dedup`` —
+    byte-identical cluster members share every block, the same quadratic
+    hot-bucket risk the LSH operator documents; ``max_bucket_size`` (skip
+    semantics, census on the join's own exchange) is the same defense in
+    depth."""
+    if hash_mode == "fast":
+        sim = simhash64(df, text_col=text_col, id_col=id_col)
+        mask32 = F.lit((1 << 32) - 1).cast("long")
+        sim = sim.select(
+            F.col(id_col),
+            F.shiftrightunsigned("simhash", 32).bitwiseAND(mask32).alias("_hi"),
+            F.col("simhash").bitwiseAND(mask32).alias("_lo"),
+        )
+    elif hash_mode == "portable":
+        sim = simhash_portable32(df, text_col=text_col, id_col=id_col).select(
+            F.col(id_col), F.col("simhash_hi").alias("_hi"), F.col("simhash_lo").alias("_lo")
+        )
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+
+    n_blocks = next(n for n in (2, 4, 8, 16, 32, 64) if n > max_hamming)
+    width = 64 // n_blocks
+    bmask = F.lit((1 << width) - 1).cast("long")
+
+    def block(i: int):
+        start = i * width
+        src = F.col("_lo") if start < 32 else F.col("_hi")
+        return F.shiftrightunsigned(src, start % 32).bitwiseAND(bmask)
+
+    banded = sim.select(
+        F.col(id_col),
+        "_hi",
+        "_lo",
+        F.posexplode(F.array(*[block(i) for i in range(n_blocks)])).alias(
+            "_blk_idx", "_blk_val"
+        ),
+    )
+    if max_bucket_size is not None:
+        bsz = F.count(F.lit(1)).over(Window.partitionBy("_blk_idx", "_blk_val"))
+        banded = banded.withColumn("_bsz", bsz).where(
+            F.col("_bsz") <= max_bucket_size
+        ).drop("_bsz")
+    a = banded.select(
+        F.col(id_col).alias("a"), F.col("_hi").alias("_hi_a"),
+        F.col("_lo").alias("_lo_a"), "_blk_idx", "_blk_val",
+    )
+    b = banded.select(
+        F.col(id_col).alias("b"), F.col("_hi").alias("_hi_b"),
+        F.col("_lo").alias("_lo_b"), "_blk_idx", "_blk_val",
+    )
+    ham = (
+        F.bit_count(F.col("_hi_a").bitwiseXOR(F.col("_hi_b")))
+        + F.bit_count(F.col("_lo_a").bitwiseXOR(F.col("_lo_b")))
+    )
+    return (
+        a.join(b, ["_blk_idx", "_blk_val"], "inner")
+        .where(F.col("a") < F.col("b"))
+        .withColumn("hamming", ham.cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+        .distinct()
+    )

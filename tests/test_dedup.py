@@ -298,3 +298,38 @@ def test_lsh_hot_bucket_skip_and_error(spark):
         sigs, bands=4, rows_per_band=2, max_bucket_size=100, hot_bucket="error"
     )
     assert ok.count() == minhash_lsh_candidates(sigs, bands=4, rows_per_band=2).count()
+
+
+def test_simhash_near_dup_pigeonhole_exact(spark):
+    """Block-split candidate generation finds EVERY pair inside the
+    Hamming ball (pigeonhole guarantee) — cross-checked against a
+    brute-force popcount over the same simhash values, both hash modes."""
+    from pyppi_spark.operators.dedup import (
+        simhash64,
+        simhash_near_dup_pairs,
+        simhash_portable32,
+    )
+
+    docs = _docs(spark)
+    for mode in ("fast", "portable"):
+        got = {
+            (r.a, r.b): r.hamming
+            for r in simhash_near_dup_pairs(docs, max_hamming=10, hash_mode=mode).collect()
+        }
+        if mode == "fast":
+            h = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
+            def ham(x, y):
+                return bin((h[x] ^ h[y]) & 0xFFFFFFFFFFFFFFFF).count("1")
+        else:
+            h = {r.doc_id: (r.simhash_hi, r.simhash_lo) for r in simhash_portable32(docs).collect()}
+            def ham(x, y):
+                return bin(h[x][0] ^ h[y][0]).count("1") + bin(h[x][1] ^ h[y][1]).count("1")
+        ids = sorted(h)
+        want = {
+            (x, y): ham(x, y)
+            for i, x in enumerate(ids) for y in ids[i + 1:]
+            if ham(x, y) <= 10
+        }
+        assert got == want, mode
+    # identical docs are hamming-0 pairs in every mode
+    assert any(k in got for k in [(0, 1), (0, 2)])
