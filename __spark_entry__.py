@@ -1090,6 +1090,16 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split.select("doc_id", "split")
 
 
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-window document chunking with overlap (the standard
+    pre-tokenization step of an LLM training pipeline): one row per
+    (doc, chunk) — zero shuffle, pure array expressions + posexplode."""
+    from pyppi_spark.functions.text import chunk_documents
+
+    docs = _documents(spark, sf_dir)
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-ball near-dup join (Manku et al. block-split):
     pairs within Hamming distance 6 of each other's 64-bit SimHash.
@@ -1167,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "pipe_transform": q_pipe_transform,
         "simhash_near_dup": q_simhash_near_dup,
+        "chunk_docs": q_chunk_docs,
     }
 
 
@@ -1224,6 +1235,7 @@ GROUP BY user_id
 
 
 _NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+_NORM_COALESCED = r"regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g')"
 _H32 = "('0x'||substr(md5({x}),1,8))::BIGINT"
 
 # the PII patterns are RE2-compatible by construction (functions/text.py)
@@ -1951,6 +1963,22 @@ WINDOW w   AS (PARTITION BY user_id ORDER BY ts, event_id),
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """,
         "clean_docs": _clean_docs_sql(score_cols, lang_case),
+        "chunk_docs": f"""
+WITH W AS (
+  SELECT doc_id, string_split({_NORM_COALESCED}, ' ') AS ws FROM documents
+), S AS (
+  SELECT doc_id, ws, len(ws) AS n,
+         unnest(generate_series(1, greatest(len(ws) - 8, 1), 24)) AS start
+  FROM W
+)
+SELECT doc_id,
+  (row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1)::BIGINT AS chunk_idx,
+  start::BIGINT AS word_start,
+  array_to_string(list_slice(ws, start, least(start + 31, n)), ' ') AS chunk_text,
+  (least(start + 31, n) - start + 1)::BIGINT AS n_tokens,
+  n::BIGINT AS n_tokens_doc
+FROM S
+""",
         "simhash_near_dup": f"""
 WITH SH AS ({_simhash_sql()})
 SELECT x.doc_id AS a, y.doc_id AS b,

@@ -70,6 +70,7 @@ HEADLINE = [
     "dataset_split",
     "pipe_transform",
     "simhash_near_dup",
+    "chunk_docs",
 ]
 
 

@@ -166,3 +166,51 @@ def repetition_stats(col: str | Column = "text", n: int = 5) -> dict[str, Column
             (total - distinct).cast("double") / F.when(total > 0, total).otherwise(F.lit(1)).cast("double")
         ),
     }
+
+
+def chunk_documents(
+    df,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Split documents into fixed-token-window chunks with overlap — the
+    standard pre-tokenization step of an LLM training pipeline: one output
+    row per (doc, chunk) carrying the chunk text, its index, token count,
+    and word offset.
+
+    Pure array expressions + one ``posexplode`` — row-local, ZERO shuffle
+    (chunking distributes trivially at 100 TB; the plan is scan → project
+    → generate). Stride = ``chunk_tokens - overlap``; the final chunk is
+    whatever remains (≥1 token, possibly shorter). A start position is
+    emitted iff it is 1 or covers at least one token beyond the previous
+    chunk, so no fully-contained duplicate tail chunks are produced.
+    Empty/NULL text yields one empty chunk (doc presence is preserved,
+    matching the repo-wide empty-gram convention).
+    """
+    from pyspark.sql import functions as F
+
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    words = F.split(F.regexp_replace(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+", " "), " ")
+    n = F.size(words)
+    # last start: the largest s = 1 + k*stride with s <= max(n - overlap, 1)
+    last = F.greatest(n - F.lit(overlap), F.lit(1))
+    starts = F.sequence(F.lit(1), last, F.lit(stride))
+    out = df.select(
+        F.col(id_col),
+        n.alias("n_tokens_doc"),
+        F.posexplode(starts).alias("chunk_idx", "_start"),
+        words.alias("_ws"),
+    )
+    piece = F.slice(F.col("_ws"), F.col("_start"), chunk_tokens)
+    return out.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("_start").cast("long").alias("word_start"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.col("n_tokens_doc").cast("long").alias("n_tokens_doc"),
+    )

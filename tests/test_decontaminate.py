@@ -191,3 +191,36 @@ def test_pii_stats_null_text(spark):
     assert out[1].has_pii is True
     kept = docs.where(~pii_stats(F.col("text"))["has_pii"]).count()
     assert kept == 1
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Every token of every doc appears in >=1 chunk; consecutive chunks
+    overlap by exactly `overlap` tokens except possibly the last; short
+    and empty docs yield one chunk."""
+    from pyppi_spark.functions.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"w{i}" for i in range(100))),
+         (1, "just five little words here"),
+         (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=16, overlap=4).toPandas()
+    g0 = out[out.doc_id == 0].sort_values("chunk_idx")
+    starts = g0.word_start.tolist()
+    assert starts[0] == 1 and all(b - a == 12 for a, b in zip(starts, starts[1:]))
+    # coverage: last chunk reaches the last token
+    assert starts[-1] + g0.n_tokens.iloc[-1] - 1 == 100
+    # exact content: token at word position p equals w{p-1}
+    for _, r in g0.iterrows():
+        toks = r.chunk_text.split(" ")
+        assert toks == [f"w{i}" for i in range(r.word_start - 1, r.word_start - 1 + len(toks))]
+    assert len(out[out.doc_id == 1]) == 1
+    assert out[out.doc_id == 2].n_tokens.tolist() == [1]
+    assert out[out.doc_id == 3].chunk_text.tolist() == [""]
+    # zero shuffle
+    plan = chunk_documents(docs, 16, 4)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    import pytest
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=8, overlap=8)
