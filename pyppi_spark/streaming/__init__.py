@@ -1,6 +1,7 @@
 from .sessions import (
     running_state_batch,
     session_window_aggregates,
+    streaming_exact_dedup,
     streaming_running_state,
     streaming_session_aggregates,
     streaming_turn_counts,
@@ -9,6 +10,7 @@ from .sessions import (
 __all__ = [
     "running_state_batch",
     "session_window_aggregates",
+    "streaming_exact_dedup",
     "streaming_running_state",
     "streaming_session_aggregates",
     "streaming_turn_counts",

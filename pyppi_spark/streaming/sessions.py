@@ -205,3 +205,28 @@ def streaming_turn_counts(
             F.col("count").alias("n_turns"),
         )
     )
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming form of ``operators.dedup.exact_dedup``: drop rows whose
+    normalized-content key was already seen within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` — state is bounded by the watermark,
+    the streaming analog of the batch operator's keep-first rule; across
+    horizons a batch exact_dedup pass remains the ground truth).
+
+    Same (hash, length) composite key as the batch operator, so the two
+    definitions agree on what "identical" means."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    keyed = stream.withColumn("_k", F.xxhash64(norm)).withColumn(
+        "_kl", F.length(norm)
+    )
+    return (
+        keyed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_k", "_kl"])
+        .drop("_k", "_kl")
+    )

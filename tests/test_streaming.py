@@ -137,3 +137,43 @@ def test_running_state_batch_equals_stateful_final(spark, tiny_pdf, tmp_path):
     assert got["last_role"].tolist() == final["last_role"].tolist()
     for c in ["gap_mean_s", "gap_max_s"]:
         assert got[c].fillna(-1).tolist() == final[c].fillna(-1).tolist(), c
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    """dropDuplicatesWithinWatermark over the batch operator's composite
+    key: the streamed survivor multiset equals batch exact_dedup on the
+    same data (single in-horizon batch; keep-first vs keep-min differ only
+    on id choice, so compare the surviving TEXT multiset)."""
+    import datetime as dt
+    import pandas as pd
+    from pyppi_spark.operators.dedup import exact_dedup
+    from pyppi_spark.streaming.sessions import streaming_exact_dedup
+
+    t0 = dt.datetime(2026, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": ["same doc", "Same  DOC", "other", "third text", "same doc", "other"],
+            "ts": [t0 + dt.timedelta(minutes=i) for i in range(6)],
+        }
+    )
+    src = str(tmp_path / "src_dedup")
+    spark.createDataFrame(pdf).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string, ts timestamp").parquet(src)
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("stream_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r.text.lower().replace("  ", " ") for r in spark.table("stream_dedup").collect()
+    )
+    want = sorted(
+        r.text.lower().replace("  ", " ")
+        for r in exact_dedup(spark.createDataFrame(pdf)).collect()
+    )
+    assert got == want
