@@ -1090,6 +1090,19 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split.select("doc_id", "split")
 
 
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS match step: document pairs sharing >=10 winnowing fingerprints
+    (k=7, window=4, portable hash) with the shared count — the candidate
+    join that turns per-doc fingerprints into overlap-based near-dup /
+    plagiarism pairs. Structural recall: any shared substring of length
+    >= k+window-1 produces >=1 shared fingerprint."""
+    from pyppi_spark.operators.dedup import winnow_candidate_pairs, winnow_fingerprints_kernel
+
+    docs = _documents(spark, sf_dir)
+    fp = winnow_fingerprints_kernel(docs, k=7, window=4, hash_mode="portable")
+    return winnow_candidate_pairs(fp, min_shared=10)
+
+
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-token-window document chunking with overlap (the standard
     pre-tokenization step of an LLM training pipeline): one row per
@@ -1178,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipe_transform": q_pipe_transform,
         "simhash_near_dup": q_simhash_near_dup,
         "chunk_docs": q_chunk_docs,
+        "winnow_pairs": q_winnow_pairs,
     }
 
 
@@ -1942,6 +1956,24 @@ SELECT DISTINCT doc_id,
        min(h) OVER (PARTITION BY doc_id ORDER BY pos
                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
 FROM H
+""",
+        "winnow_pairs": f"""
+WITH FP AS (WITH N AS (
+  SELECT doc_id, {_NORM} AS t FROM documents
+), P AS (
+  SELECT doc_id, t, unnest(generate_series(1, greatest(length(t) - 6, 1))) AS pos
+  FROM N
+), H AS (
+  SELECT doc_id, pos, {_H32.format(x="substr(t, pos::INT, 7)")} AS h FROM P
+)
+SELECT DISTINCT doc_id,
+       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
+FROM H)
+SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS n_shared
+FROM FP x JOIN FP y ON x.fingerprint = y.fingerprint AND x.doc_id < y.doc_id
+GROUP BY a, b
+HAVING count(*) >= 10
 """,
         "running_state": """
 WITH G AS (

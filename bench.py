@@ -71,6 +71,7 @@ HEADLINE = [
     "pipe_transform",
     "simhash_near_dup",
     "chunk_docs",
+    "winnow_pairs",
 ]
 
 

@@ -5,6 +5,7 @@ from .asof import asof_join, asof_join_union, asof_join_merge
 from .range_join import range_join
 from .dedup import (
     simhash_near_dup_pairs,
+    winnow_candidate_pairs,
     exact_dedup,
     minhash_signatures,
     minhash_lsh_candidates,
@@ -43,6 +44,7 @@ __all__ = [
     "minhash_lsh_candidates",
     "simhash64",
     "simhash_near_dup_pairs",
+    "winnow_candidate_pairs",
     "ngram_jaccard_pairs",
     "near_dedup_representatives",
     "near_dup_components",

@@ -850,3 +850,39 @@ def simhash_near_dup_pairs(
         .select("a", "b", "hamming")
         .distinct()
     )
+
+
+def winnow_candidate_pairs(
+    fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    min_shared: int = 2,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """The MOSS match step over winnowing fingerprints: pairs of documents
+    sharing ≥ ``min_shared`` selected fingerprints → (a, b, n_shared).
+    Compose with ``winnow_fingerprints[_kernel]`` for overlap-based
+    near-dup/plagiarism candidates — winnowing guarantees any shared
+    substring of length ≥ k + window − 1 yields ≥1 shared fingerprint, so
+    candidate recall over long shared passages is structural, not
+    probabilistic.
+
+    Physical shape: pure equi self-join on the fingerprint value (fixed-
+    width key) + one count aggregation — the same family as LSH banding.
+    Same hot-bucket caveat: a fingerprint shared by m docs emits m(m−1)/2
+    join rows; run after ``exact_dedup`` and/or cap ubiquitous
+    (boilerplate) fingerprints with ``max_bucket_size`` (skip semantics —
+    dropping a too-common fingerprint only removes boilerplate evidence;
+    ``n_shared`` then undercounts by design, never overcounts)."""
+    fp = fingerprints.select(F.col(id_col), F.col("fingerprint"))
+    if max_bucket_size is not None:
+        bsz = F.count(F.lit(1)).over(Window.partitionBy("fingerprint"))
+        fp = fp.withColumn("_bsz", bsz).where(F.col("_bsz") <= max_bucket_size).drop("_bsz")
+    a = fp.select(F.col(id_col).alias("a"), "fingerprint")
+    b = fp.select(F.col(id_col).alias("b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

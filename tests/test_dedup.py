@@ -333,3 +333,27 @@ def test_simhash_near_dup_pigeonhole_exact(spark):
         assert got == want, mode
     # identical docs are hamming-0 pairs in every mode
     assert any(k in got for k in [(0, 1), (0, 2)])
+
+
+def test_winnow_candidate_pairs_guarantee_and_cap(spark):
+    """Shared-passage guarantee: docs sharing a substring of length
+    >= k+window-1 produce a candidate pair; unrelated docs don't; the
+    hot-fingerprint cap drops ubiquitous fingerprints only."""
+    from pyppi_spark.operators.dedup import (
+        winnow_candidate_pairs,
+        winnow_fingerprints_kernel,
+    )
+
+    shared = "exactly this long shared passage appears verbatim in two documents"
+    rows = [
+        (0, "prefix one " + shared + " suffix alpha"),
+        (1, "different opening " + shared + " and a different tail"),
+        (2, "completely unrelated content about parquet row groups and pruning"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = winnow_fingerprints_kernel(docs, k=7, window=4, hash_mode="portable")
+    pairs = {(r.a, r.b): r.n_shared for r in winnow_candidate_pairs(fp, min_shared=2).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 5
+    assert all(2 not in k for k in pairs)
+    # cap=1 drops every fingerprint shared by >1 doc → no pairs at all
+    assert winnow_candidate_pairs(fp, min_shared=1, max_bucket_size=1).count() == 0
