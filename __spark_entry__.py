@@ -1100,7 +1100,11 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _documents(spark, sf_dir)
     fp = winnow_fingerprints_kernel(docs, k=7, window=4, hash_mode="portable")
-    return winnow_candidate_pairs(fp, min_shared=10)
+    # max_bucket_size is NOT optional at scale: a fingerprint shared by m
+    # docs emits m(m-1)/2 join rows (uncapped measured 39 s vs 2.3 s at
+    # sf0.1 — boilerplate k-grams are the dominant bucket class), and
+    # dropping ubiquitous fingerprints only removes boilerplate evidence
+    return winnow_candidate_pairs(fp, min_shared=10, max_bucket_size=200)
 
 
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1958,7 +1962,7 @@ SELECT DISTINCT doc_id,
 FROM H
 """,
         "winnow_pairs": f"""
-WITH FP AS (WITH N AS (
+WITH FP0 AS (WITH N AS (
   SELECT doc_id, {_NORM} AS t FROM documents
 ), P AS (
   SELECT doc_id, t, unnest(generate_series(1, greatest(length(t) - 6, 1))) AS pos
@@ -1969,7 +1973,11 @@ WITH FP AS (WITH N AS (
 SELECT DISTINCT doc_id,
        min(h) OVER (PARTITION BY doc_id ORDER BY pos
                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
-FROM H)
+FROM H), FP AS (
+  SELECT doc_id, fingerprint FROM (
+    SELECT *, count(*) OVER (PARTITION BY fingerprint) AS _c FROM FP0
+  ) WHERE _c <= 200
+)
 SELECT x.doc_id AS a, y.doc_id AS b, count(*)::BIGINT AS n_shared
 FROM FP x JOIN FP y ON x.fingerprint = y.fingerprint AND x.doc_id < y.doc_id
 GROUP BY a, b
