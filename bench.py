@@ -162,6 +162,11 @@ def main() -> None:
                 rows_per_band=4,
             )
         )
+        from pyppi_spark.operators.dedup import simhash_near_dup_pairs
+
+        yield "simhash_near_dup_fast", lambda: force(
+            simhash_near_dup_pairs(docs, max_hamming=6, hash_mode="fast")
+        )
         yield "winnow_fast", lambda: force(
             winnow_fingerprints_kernel(
                 docs, k=7, window=4, hash_mode="fast",
