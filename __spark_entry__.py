@@ -1485,7 +1485,7 @@ def oracle_sql() -> dict[str, str]:
     score_cols = ", ".join(f"{expr} AS s_{l}" for expr, l in zip(lang_scores, langs))
     m_expr = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
     lang_case = (
-        "CASE WHEN " + m_expr + " = 0 THEN 'und' "
+        "CASE WHEN " + m_expr + " IS NULL OR " + m_expr + " = 0 THEN 'und' "
         + " ".join(f"WHEN s_{l} = {m_expr} THEN '{l}'" for l in langs[:-1])
         + f" ELSE '{langs[-1]}' END"
     )

@@ -89,8 +89,12 @@ def lang_id(col: str | Column = "text") -> Column:
     # next, duplicating score subtrees exponentially — the combined
     # projection blew janino's 64 KB method limit inside fused
     # sort/project stages and fell back to interpreted execution.
+    # NULL guard first: for NULL text every score is NULL, so m is NULL and
+    # every `score == m` WHEN would be NULL-skipped — without the guard the
+    # chain falls through to otherwise() and labels NULL-text docs with the
+    # last language instead of 'und' (mirrored in the SQL oracle's CASE).
     m = F.greatest(*[scores[lang] for lang in sorted(LANG_MARKERS)])
-    out = F.when(m == 0, F.lit("und"))
+    out = F.when(m.isNull() | (m == 0), F.lit("und"))
     langs = sorted(LANG_MARKERS)
     for lang in langs[:-1]:
         out = out.when(scores[lang] == m, F.lit(lang))

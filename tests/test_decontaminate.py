@@ -193,6 +193,24 @@ def test_pii_stats_null_text(spark):
     assert kept == 1
 
 
+def test_lang_id_null_text(spark):
+    """NULL (and empty/marker-free) text → 'und', never a language label:
+    without the NULL guard, greatest() of all-NULL scores is NULL, every
+    `score == m` WHEN is NULL-skipped, and the CASE falls through to the
+    last language in sorted order."""
+    from pyppi_spark.functions.text import lang_id
+
+    docs = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "zzz qqq xxx"), (3, "the cat and the dog with a hat")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.lang for r in docs.select("doc_id", lang_id("text").alias("lang")).collect()}
+    assert out[0] == "und"
+    assert out[1] == "und"
+    assert out[2] == "und"
+    assert out[3] == "en"
+
+
 def test_chunk_documents_coverage_and_overlap(spark):
     """Every token of every doc appears in >=1 chunk; consecutive chunks
     overlap by exactly `overlap` tokens except possibly the last; short
