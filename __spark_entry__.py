@@ -1118,11 +1118,12 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-ball near-dup join (Manku et al. block-split):
-    pairs within Hamming distance 6 of each other's 64-bit SimHash.
-    Candidate generation is pigeonhole-EXACT (8 blocks > 6), so the
-    oracle is the brute-force all-pairs popcount over the identical
-    portable simhash values — the sets must match exactly."""
+    """SimHash Hamming-ball near-dup join (Manku et al. WWW'07
+    multi-table block-combination keys — at max_hamming=6 the chooser
+    picks 28 tables of 2-block 16-bit keys). Candidate generation is
+    pigeonhole-EXACT, so the oracle is the brute-force all-pairs popcount
+    over the identical portable simhash values — the sets must match
+    exactly."""
     from pyppi_spark.operators.dedup import simhash_near_dup_pairs
 
     docs = _documents(spark, sf_dir)

@@ -5,6 +5,7 @@ from .asof import asof_join, asof_join_union, asof_join_merge
 from .range_join import range_join
 from .dedup import (
     simhash_near_dup_pairs,
+    simhash_pairs_from_hashes,
     winnow_candidate_pairs,
     exact_dedup,
     minhash_signatures,
@@ -44,6 +45,7 @@ __all__ = [
     "minhash_lsh_candidates",
     "simhash64",
     "simhash_near_dup_pairs",
+    "simhash_pairs_from_hashes",
     "winnow_candidate_pairs",
     "ngram_jaccard_pairs",
     "near_dedup_representatives",

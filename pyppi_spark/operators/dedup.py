@@ -764,6 +764,178 @@ def near_dedup_representatives(
     return df.join(losers, id_col, "left_anti")
 
 
+def _simhash_scheme(max_hamming: int, max_tables: int = 64) -> tuple[int, int]:
+    """Pick (n_blocks, key_blocks) for the Manku block-combination join:
+    carve 64 bits into ``n_blocks`` equal blocks and key each probe table
+    on a ``key_blocks``-subset of them. Pigeonhole exactness needs
+    ``key_blocks <= n_blocks - max_hamming`` (a pair within the ball
+    differs in <= max_hamming blocks, so some key_blocks-subset of blocks
+    matches exactly in at least one of the C(n_blocks, key_blocks)
+    tables). Among feasible (n, t) with C(n, t) <= ``max_tables``, choose
+    the WIDEST key ``t * 64/n`` (fewest random collisions — candidate
+    output on non-duplicate hashes ~ C(n,t) * N^2 / 2^(t*64/n)), breaking
+    ties on fewer tables. max_hamming=3 -> (8, 5): 56 tables x 40-bit
+    keys; max_hamming=6 -> (8, 2): 28 tables x 16-bit keys; the
+    single-block split (t=1) is the degenerate member of the family."""
+    import math
+
+    if not 1 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [1, 63], got {max_hamming}")
+    best = None  # (width, -tables, n, t)
+    for n in (2, 4, 8, 16, 32, 64):
+        for t in range(1, n - max_hamming + 1):
+            tables = math.comb(n, t)
+            if tables > max_tables:
+                continue  # C(n, t) peaks at n/2 then falls — e.g. (64, 63)
+                # is feasible (64 tables, 63-bit key) though (64, 2) is not
+            cand = (t * (64 // n), -tables, n, t)
+            if best is None or cand > best:
+                best = cand
+    if best is None:
+        raise ValueError(
+            f"no block scheme with <= {max_tables} tables covers "
+            f"max_hamming={max_hamming}; raise max_tables"
+        )
+    return best[2], best[3]
+
+
+def simhash_pairs_from_hashes(
+    sim: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+    key_blocks: int | None = None,
+    max_tables: int = 64,
+    max_bucket_size: int | None = None,
+    observation=None,
+) -> DataFrame:
+    """Hamming-ball self-join over precomputed 64-bit SimHashes (``sim``
+    columns: id, ``_hi``, ``_lo`` — two nonneg 32-bit halves in longs) →
+    (a, b, hamming) for all pairs within ``max_hamming`` bits.
+
+    Candidate generation is the multi-table block-combination scheme of
+    Manku, Jain & Das Sarma (WWW'07, "Detecting near-duplicates for web
+    crawling"): with ``n_blocks`` equal bit-blocks and table keys made of
+    ``key_blocks``-subsets, any pair in the ball matches at least one
+    table key EXACTLY (pigeonhole — recall 1.0, unlike MinHash banding),
+    and the key is ``key_blocks * 64/n_blocks`` bits wide, so random
+    (non-duplicate) collisions fall as 2^-width. The minimal single-block
+    split (key_blocks=1) keys on 64/n_blocks bits — at max_hamming=3 that
+    is 16 bits, making the candidate join output ~ N^2/2^16 on random
+    hashes, quadratic at web corpus size; the default scheme
+    (``_simhash_scheme``) picks e.g. 56 tables x 40-bit keys instead,
+    trading a bounded row explode (C(n,t) rows/doc) for ~2^24x fewer
+    random collisions. Everything stays JVM codegen: posexplode of the
+    table keys, one fixed-width equi self-join, bit_count verify.
+
+    ``max_bucket_size`` (skip semantics) caps a (table, key) bucket's
+    population; unlike the LSH/winnow caps this CAN drop true pairs (hot
+    buckets arise from uniform mass, not only boilerplate) — pass an
+    ``observation`` (``pyspark.sql.Observation``) to account the dropped
+    rows (``rows_dropped`` / ``rows_total`` metrics) instead of losing
+    recall silently; prefer running after ``exact_dedup`` so byte-dup
+    clusters never reach the join."""
+    cands = _simhash_candidates(
+        sim,
+        id_col=id_col,
+        max_hamming=max_hamming,
+        n_blocks=n_blocks,
+        key_blocks=key_blocks,
+        max_tables=max_tables,
+        max_bucket_size=max_bucket_size,
+        observation=observation,
+    )
+    ham = (
+        F.bit_count(F.col("_hi_a").bitwiseXOR(F.col("_hi_b")))
+        + F.bit_count(F.col("_lo_a").bitwiseXOR(F.col("_lo_b")))
+    )
+    return (
+        cands.withColumn("hamming", ham.cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+        .distinct()
+    )
+
+
+def _simhash_candidates(
+    sim: DataFrame,
+    id_col: str,
+    max_hamming: int,
+    n_blocks: int | None,
+    key_blocks: int | None,
+    max_tables: int,
+    max_bucket_size: int | None,
+    observation=None,
+) -> DataFrame:
+    """The pre-verify candidate join of ``simhash_pairs_from_hashes``:
+    (a, b, _hi_a, _lo_a, _hi_b, _lo_b) rows, one per (pair, matching
+    table) — exposed separately so tests can measure candidate volume
+    (the quantity the block-combination scheme exists to bound)."""
+    if n_blocks is None and key_blocks is None:
+        n_blocks, key_blocks = _simhash_scheme(max_hamming, max_tables)
+    elif n_blocks is None or key_blocks is None:
+        raise ValueError("pass both n_blocks and key_blocks, or neither")
+    if 64 % n_blocks != 0:
+        raise ValueError(f"n_blocks must divide 64, got {n_blocks}")
+    if not 1 <= key_blocks <= n_blocks - max_hamming:
+        raise ValueError(
+            f"key_blocks must be in [1, n_blocks - max_hamming] = "
+            f"[1, {n_blocks - max_hamming}] for exact recall, got {key_blocks}"
+        )
+    import itertools
+
+    width = 64 // n_blocks
+    bmask = F.lit((1 << width) - 1).cast("long")
+
+    def block(i: int):
+        start = i * width
+        src = F.col("_lo") if start < 32 else F.col("_hi")
+        return F.shiftrightunsigned(src, start % 32).bitwiseAND(bmask)
+
+    def table_key(subset: tuple[int, ...]):
+        # concatenated block values; key_blocks*width <= 63 whenever
+        # max_hamming >= 1, so the packed key stays a nonneg long
+        key = block(subset[0])
+        for i in subset[1:]:
+            key = F.shiftleft(key, width).bitwiseOR(block(i))
+        return key
+
+    subsets = list(itertools.combinations(range(n_blocks), key_blocks))
+    banded = sim.select(
+        F.col(id_col),
+        "_hi",
+        "_lo",
+        F.posexplode(F.array(*[table_key(s) for s in subsets])).alias(
+            "_tbl_idx", "_key"
+        ),
+    )
+    if max_bucket_size is not None:
+        bsz = F.count(F.lit(1)).over(Window.partitionBy("_tbl_idx", "_key"))
+        banded = banded.withColumn("_bsz", bsz)
+        if observation is not None:
+            banded = banded.observe(
+                observation,
+                F.sum(
+                    (F.col("_bsz") > max_bucket_size).cast("long")
+                ).alias("rows_dropped"),
+                F.count(F.lit(1)).alias("rows_total"),
+            )
+        banded = banded.where(F.col("_bsz") <= max_bucket_size).drop("_bsz")
+    a = banded.select(
+        F.col(id_col).alias("a"), F.col("_hi").alias("_hi_a"),
+        F.col("_lo").alias("_lo_a"), "_tbl_idx", "_key",
+    )
+    b = banded.select(
+        F.col(id_col).alias("b"), F.col("_hi").alias("_hi_b"),
+        F.col("_lo").alias("_lo_b"), "_tbl_idx", "_key",
+    )
+    return (
+        a.join(b, ["_tbl_idx", "_key"], "inner")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "_hi_a", "_lo_a", "_hi_b", "_lo_b")
+    )
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -771,28 +943,22 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     hash_mode: str = "fast",
     max_bucket_size: int | None = None,
+    n_blocks: int | None = None,
+    key_blocks: int | None = None,
+    max_tables: int = 64,
+    observation=None,
 ) -> DataFrame:
     """SimHash Hamming-ball near-dup join (the Google web-dedup scheme,
-    Manku et al.): pairs of documents whose 64-bit SimHashes differ in at
-    most ``max_hamming`` bits → (a, b, hamming).
-
-    Block-split candidate generation is EXACT by pigeonhole: the 64 bits
-    are carved into ``n_blocks > max_hamming`` equal blocks (the smallest
-    divisor of 64 that exceeds ``max_hamming``), so any pair within the
-    ball agrees on ≥1 whole block and is found by a pure equi self-join on
-    (block_idx, block_value); candidates are then verified with the exact
-    popcount distance. Everything is JVM codegen: one explode + one
-    fixed-width-key self-join + a bit_count filter — the same physical
-    family as MinHash-LSH banding, but with zero probability of a missed
-    pair inside the ball.
+    Manku et al. WWW'07): pairs of documents whose 64-bit SimHashes differ
+    in at most ``max_hamming`` bits → (a, b, hamming). Hashes the text
+    (``simhash64`` / ``simhash_portable32``) and delegates to
+    ``simhash_pairs_from_hashes`` — see there for the multi-table
+    block-combination candidate scheme and its scale analysis.
 
     ``hash_mode="portable"`` uses the md5-based ``simhash_portable32``
     halves so the DuckDB oracle reproduces the values bit-for-bit; "fast"
     uses xxhash64 (production). Scale note: run AFTER ``exact_dedup`` —
-    byte-identical cluster members share every block, the same quadratic
-    hot-bucket risk the LSH operator documents; ``max_bucket_size`` (skip
-    semantics, census on the join's own exchange) is the same defense in
-    depth."""
+    byte-identical cluster members share every table key."""
     if hash_mode == "fast":
         sim = simhash64(df, text_col=text_col, id_col=id_col)
         mask32 = F.lit((1 << 32) - 1).cast("long")
@@ -807,48 +973,15 @@ def simhash_near_dup_pairs(
         )
     else:
         raise ValueError(f"unknown hash_mode {hash_mode!r}")
-
-    n_blocks = next(n for n in (2, 4, 8, 16, 32, 64) if n > max_hamming)
-    width = 64 // n_blocks
-    bmask = F.lit((1 << width) - 1).cast("long")
-
-    def block(i: int):
-        start = i * width
-        src = F.col("_lo") if start < 32 else F.col("_hi")
-        return F.shiftrightunsigned(src, start % 32).bitwiseAND(bmask)
-
-    banded = sim.select(
-        F.col(id_col),
-        "_hi",
-        "_lo",
-        F.posexplode(F.array(*[block(i) for i in range(n_blocks)])).alias(
-            "_blk_idx", "_blk_val"
-        ),
-    )
-    if max_bucket_size is not None:
-        bsz = F.count(F.lit(1)).over(Window.partitionBy("_blk_idx", "_blk_val"))
-        banded = banded.withColumn("_bsz", bsz).where(
-            F.col("_bsz") <= max_bucket_size
-        ).drop("_bsz")
-    a = banded.select(
-        F.col(id_col).alias("a"), F.col("_hi").alias("_hi_a"),
-        F.col("_lo").alias("_lo_a"), "_blk_idx", "_blk_val",
-    )
-    b = banded.select(
-        F.col(id_col).alias("b"), F.col("_hi").alias("_hi_b"),
-        F.col("_lo").alias("_lo_b"), "_blk_idx", "_blk_val",
-    )
-    ham = (
-        F.bit_count(F.col("_hi_a").bitwiseXOR(F.col("_hi_b")))
-        + F.bit_count(F.col("_lo_a").bitwiseXOR(F.col("_lo_b")))
-    )
-    return (
-        a.join(b, ["_blk_idx", "_blk_val"], "inner")
-        .where(F.col("a") < F.col("b"))
-        .withColumn("hamming", ham.cast("long"))
-        .where(F.col("hamming") <= max_hamming)
-        .select("a", "b", "hamming")
-        .distinct()
+    return simhash_pairs_from_hashes(
+        sim,
+        id_col=id_col,
+        max_hamming=max_hamming,
+        n_blocks=n_blocks,
+        key_blocks=key_blocks,
+        max_tables=max_tables,
+        max_bucket_size=max_bucket_size,
+        observation=observation,
     )
 
 
