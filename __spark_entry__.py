@@ -1107,6 +1107,25 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_candidate_pairs(fp, min_shared=10, max_bucket_size=200)
 
 
+def q_moss_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MOSS near-dedup composition END-TO-END under the driver gate
+    (plans.training_set.moss_dedup_documents): exact normalized-content
+    dedup, winnowing fingerprints (k=7, window=4, portable hash),
+    candidate pairs sharing >=10 fingerprints AND >=50% of the smaller
+    doc's fingerprint set (ubiquitous fingerprints capped at 200),
+    transitive survivor selection. Oracle = the identical staged
+    composition in DuckDB (fingerprint selection is deterministic, so
+    survivor sets must match exactly)."""
+    from pyppi_spark.plans.training_set import moss_dedup_documents
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    out = moss_dedup_documents(
+        docs, k=7, window=4, min_shared=10, min_overlap_frac=0.5,
+        max_bucket_size=200, hash_mode="portable",
+    )
+    return out.select("doc_id")
+
+
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-token-window document chunking with overlap (the standard
     pre-tokenization step of an LLM training pipeline): one row per
@@ -1197,6 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "chunk_docs": q_chunk_docs,
         "winnow_pairs": q_winnow_pairs,
+        "moss_dedup": q_moss_dedup,
     }
 
 
@@ -1961,6 +1981,49 @@ SELECT DISTINCT doc_id,
        min(h) OVER (PARTITION BY doc_id ORDER BY pos
                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
 FROM H
+""",
+        "moss_dedup": rf"""
+WITH RECURSIVE X AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text, row_number() OVER (
+      PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+      ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1
+), N AS (
+  SELECT doc_id, {_NORM} AS t FROM X
+), P AS (
+  SELECT doc_id, t, unnest(generate_series(1, greatest(length(t) - 6, 1))) AS pos
+  FROM N
+), H AS (
+  SELECT doc_id, pos, {_H32.format(x="substr(t, pos::INT, 7)")} AS h FROM P
+), FP0 AS (
+  SELECT DISTINCT doc_id,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
+  FROM H
+), CNT AS (
+  SELECT doc_id, count(*) AS nfp FROM FP0 GROUP BY doc_id
+), FP AS (
+  SELECT doc_id, fingerprint FROM (
+    SELECT *, count(*) OVER (PARTITION BY fingerprint) AS _c FROM FP0
+  ) WHERE _c <= 200
+), PR AS (
+  SELECT a, b FROM (
+    SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+    FROM FP x JOIN FP y ON x.fingerprint = y.fingerprint AND x.doc_id < y.doc_id
+    GROUP BY a, b
+    HAVING count(*) >= 10
+  ) p JOIN CNT ca ON p.a = ca.doc_id JOIN CNT cb ON p.b = cb.doc_id
+  WHERE n_shared >= 0.5 * least(ca.nfp, cb.nfp)
+), NN AS (SELECT a AS n FROM PR UNION SELECT b FROM PR
+), E AS (SELECT a AS s, b AS d FROM PR UNION SELECT b, a FROM PR
+), R(n, l) AS (
+  SELECT n, n FROM NN
+  UNION
+  SELECT e.d, r.l FROM R r JOIN E e ON r.n = e.s
+), C AS (SELECT n, min(l) AS rep FROM R GROUP BY n)
+SELECT doc_id FROM X
+WHERE doc_id NOT IN (SELECT n FROM C WHERE n <> rep)
 """,
         "winnow_pairs": f"""
 WITH FP0 AS (WITH N AS (

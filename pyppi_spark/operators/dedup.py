@@ -176,6 +176,7 @@ def minhash_lsh_candidates(
     rows_per_band: int = 4,
     max_bucket_size: int | None = None,
     hot_bucket: str = "error",
+    observation=None,
 ) -> DataFrame:
     """LSH banding: slice each signature into ``bands`` bands of
     ``rows_per_band`` values, hash each band, self-join on
@@ -195,7 +196,16 @@ def minhash_lsh_candidates(
     ``hot_bucket="error"`` fails the job with the bucket size in the
     message; ``"skip"`` drops oversized buckets (bounded recall loss — the
     standard production trade, every surviving pair is still Jaccard-
-    verified downstream).
+    verified downstream). With ``"skip"``, pass an ``observation``
+    (``pyspark.sql.Observation``) to account the dropped banded rows
+    (``rows_dropped`` / ``rows_total``) — no silent caps.
+
+    Observation caveat (applies to every capped operator here): observed
+    metrics are read from the FINAL physical plan, so if the capped
+    output is entirely empty, AQE's empty-relation propagation can elide
+    the CollectMetrics subtree and ``Observation.get`` fails — treat
+    that corner as "every row was capped". With AQE on and any surviving
+    row the counts are exact (tests assert equality).
     """
     if hot_bucket not in ("error", "skip"):
         raise ValueError(f"unknown hot_bucket {hot_bucket!r}")
@@ -241,6 +251,12 @@ def minhash_lsh_candidates(
                 ).otherwise(F.lit(True))
             )
         else:
+            if observation is not None:
+                banded = banded.observe(
+                    observation,
+                    F.sum((F.col("_bsz") > max_bucket_size).cast("long")).alias("rows_dropped"),
+                    F.count(F.lit(1)).alias("rows_total"),
+                )
             banded = banded.where(F.col("_bsz") <= max_bucket_size)
         banded = banded.drop("_bsz")
     a = banded.select(F.col(id_col).alias("a"), "band_idx", "band_hash")
@@ -990,9 +1006,20 @@ def winnow_candidate_pairs(
     id_col: str = "doc_id",
     min_shared: int = 2,
     max_bucket_size: int | None = None,
+    observation=None,
+    min_overlap_frac: float | None = None,
 ) -> DataFrame:
     """The MOSS match step over winnowing fingerprints: pairs of documents
     sharing ≥ ``min_shared`` selected fingerprints → (a, b, n_shared).
+
+    ``min_overlap_frac`` adds the MOSS-style RELATIVE criterion:
+    ``n_shared >= frac * min(|fp_a|, |fp_b|)`` with per-doc totals counted
+    BEFORE the hot-fingerprint cap (so capped boilerplate still inflates
+    the denominator, keeping the score conservative). An absolute
+    ``min_shared`` alone conflates shared boilerplate with true overlap —
+    on the test corpus it links 40k pairs where the 0.5-fraction rule
+    keeps the 25 genuine near-dup pairs. The totals join touches only the
+    (already HAVING-pruned) pair rows plus one slim per-doc count table.
     Compose with ``winnow_fingerprints[_kernel]`` for overlap-based
     near-dup/plagiarism candidates — winnowing guarantees any shared
     substring of length ≥ k + window − 1 yields ≥1 shared fingerprint, so
@@ -1005,17 +1032,45 @@ def winnow_candidate_pairs(
     join rows; run after ``exact_dedup`` and/or cap ubiquitous
     (boilerplate) fingerprints with ``max_bucket_size`` (skip semantics —
     dropping a too-common fingerprint only removes boilerplate evidence;
-    ``n_shared`` then undercounts by design, never overcounts)."""
+    ``n_shared`` then undercounts by design, never overcounts). Pass an
+    ``observation`` (``pyspark.sql.Observation``) to account the capped
+    rows (``rows_dropped`` / ``rows_total``) instead of dropping them
+    silently — a production run should report its recall trade."""
     fp = fingerprints.select(F.col(id_col), F.col("fingerprint"))
     if max_bucket_size is not None:
         bsz = F.count(F.lit(1)).over(Window.partitionBy("fingerprint"))
-        fp = fp.withColumn("_bsz", bsz).where(F.col("_bsz") <= max_bucket_size).drop("_bsz")
+        fp = fp.withColumn("_bsz", bsz)
+        if observation is not None:
+            fp = fp.observe(
+                observation,
+                F.sum((F.col("_bsz") > max_bucket_size).cast("long")).alias("rows_dropped"),
+                F.count(F.lit(1)).alias("rows_total"),
+            )
+        fp = fp.where(F.col("_bsz") <= max_bucket_size).drop("_bsz")
     a = fp.select(F.col(id_col).alias("a"), "fingerprint")
     b = fp.select(F.col(id_col).alias("b"), "fingerprint")
-    return (
+    pairs = (
         a.join(b, "fingerprint")
         .where(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+    if min_overlap_frac is not None:
+        counts = fingerprints.groupBy(F.col(id_col)).agg(
+            F.count(F.lit(1)).alias("_nfp")
+        )
+        pairs = (
+            pairs.join(
+                counts.select(F.col(id_col).alias("a"), F.col("_nfp").alias("_na")), "a"
+            )
+            .join(
+                counts.select(F.col(id_col).alias("b"), F.col("_nfp").alias("_nb")), "b"
+            )
+            .where(
+                F.col("n_shared")
+                >= F.lit(min_overlap_frac) * F.least("_na", "_nb")
+            )
+            .select("a", "b", "n_shared")
+        )
+    return pairs

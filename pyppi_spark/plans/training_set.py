@@ -31,6 +31,8 @@ from ..operators.dedup import (
     minhash_signatures,
     near_dedup_representatives,
     ngram_jaccard_pairs,
+    winnow_candidate_pairs,
+    winnow_fingerprints_kernel,
 )
 from .features import conv_features, turn_features
 from .pit import pit_features
@@ -96,6 +98,59 @@ def clean_documents(
     )
     dups = ngram_jaccard_pairs(uniq, cands, id_col=id_col, threshold=jaccard_threshold)
     return near_dedup_representatives(uniq, dups, id_col=id_col)
+
+
+def moss_dedup_documents(
+    documents: DataFrame,
+    k: int = 7,
+    window: int = 4,
+    min_shared: int = 10,
+    min_overlap_frac: float | None = 0.5,
+    max_bucket_size: int | None = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_mode: str = "fast",
+    repartition_to: int | None = None,
+    observation=None,
+) -> DataFrame:
+    """The MOSS near-dedup composition end-to-end — the second near-dup
+    family (overlap/plagiarism detection, Schleimer et al.'s winnowing)
+    made usable as one call, mirroring ``clean_documents``' MinHash path
+    and the reference's staged pipeline shape
+    (``/root/reference/bin/setupPpiDb.py:375-413``):
+
+    1. exact (normalized-content) dedup — byte-identical copies share
+       every fingerprint, so feeding them to the pair join makes hot
+       fingerprint buckets quadratic in the copy count (same argument as
+       the LSH path); they are also the one duplicate class the pair
+       stage can MISS (a doc with < ``min_shared`` fingerprints never
+       pairs, even with its identical twin), so collapsing them first is
+       both the fast and the more-correct order,
+    2. winnowing fingerprints (``winnow_fingerprints_kernel`` — zero
+       shuffle, doc-local numpy),
+    3. candidate pairs sharing >= ``min_shared`` fingerprints AND >=
+       ``min_overlap_frac`` of the smaller document's fingerprint set
+       (the relative criterion is what separates true overlap from shared
+       boilerplate); ubiquitous fingerprints capped at
+       ``max_bucket_size`` (``observation`` accounts capped rows — see
+       ``winnow_candidate_pairs``),
+    4. transitive survivor selection (connected-component min id).
+
+    Returns the surviving documents (all input columns). Semantics are
+    the COMPOSITION (exact dedup, then MOSS over unique texts) — the
+    whole thing sits under a DuckDB value oracle as the ``moss_dedup``
+    driver query."""
+    uniq = exact_dedup(documents, text_col=text_col, id_col=id_col)
+    fp = winnow_fingerprints_kernel(
+        uniq, text_col=text_col, id_col=id_col, k=k, window=window,
+        hash_mode=hash_mode, repartition_to=repartition_to,
+    )
+    pairs = winnow_candidate_pairs(
+        fp, id_col=id_col, min_shared=min_shared,
+        min_overlap_frac=min_overlap_frac,
+        max_bucket_size=max_bucket_size, observation=observation,
+    )
+    return near_dedup_representatives(uniq, pairs.select("a", "b"), id_col=id_col)
 
 
 def build_training_set(

@@ -452,6 +452,56 @@ def test_simhash_cap_observation_accounts_drops(spark):
     assert uncapped.count() >= 40 * 39 // 2
 
 
+def test_skip_cap_observations_lsh_and_winnow(spark):
+    """hot_bucket='skip' (LSH) and max_bucket_size (winnow pairs) report
+    dropped-row counts through an Observation — the caps are no longer
+    silent. Hot buckets are synthetic: identical texts share every band
+    hash / fingerprint."""
+    from pyspark.sql import Observation
+    from pyppi_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_lsh_candidates,
+        winnow_candidate_pairs,
+        winnow_fingerprints_kernel,
+    )
+
+    # one 8-clone hot cluster (capped away), one 2-clone cluster that
+    # survives the cap — metrics are read off the final AQE plan, so the
+    # output must be non-empty (see the operator docstring caveat)
+    docs = spark.createDataFrame(
+        [(i, "identical boilerplate page body repeated verbatim") for i in range(8)]
+        + [(50, "a small duplicated pair of documents that stays under the cap"),
+           (51, "a small duplicated pair of documents that stays under the cap"),
+           (100, "a one-off document about something else entirely")],
+        "doc_id long, text string",
+    )
+    obs = Observation("lsh_skip")
+    sigs = minhash_signatures(docs)
+    cands = minhash_lsh_candidates(
+        sigs, bands=4, rows_per_band=2, max_bucket_size=4,
+        hot_bucket="skip", observation=obs,
+    )
+    got_pairs = {(r.a, r.b) for r in cands.collect()}
+    assert got_pairs == {(50, 51)}  # the 8-clone cluster's buckets dropped
+    got = obs.get
+    assert got["rows_dropped"] == 8 * 4  # 8 clones x 4 bands
+    assert got["rows_total"] == 11 * 4
+
+    obs2 = Observation("winnow_cap")
+    fp = winnow_fingerprints_kernel(docs, k=7, window=4, hash_mode="portable")
+    pairs = winnow_candidate_pairs(
+        fp, min_shared=1, max_bucket_size=4, observation=obs2
+    )
+    surv = {(r.a, r.b) for r in pairs.collect()}
+    # the 8-clone cluster's fingerprint buckets are capped away entirely;
+    # incidental single-fingerprint overlaps among 50/51/100 survive
+    assert (50, 51) in surv
+    assert all(a >= 50 and b >= 50 for a, b in surv)
+    got2 = obs2.get
+    assert got2["rows_dropped"] > 0
+    assert got2["rows_total"] == fp.count()
+
+
 def test_winnow_candidate_pairs_guarantee_and_cap(spark):
     """Shared-passage guarantee: docs sharing a substring of length
     >= k+window-1 produce a candidate pair; unrelated docs don't; the

@@ -101,3 +101,35 @@ def test_clean_documents_exact_dedup_before_lsh(spark):
         r.doc_id for r in clean_documents(small, min_quality=0.2, jaccard_threshold=0.5).select("doc_id").collect()
     )
     assert survivors_big == survivors_small == [0, 10_000_000, 10_000_001]
+
+
+def test_moss_dedup_documents_end_to_end(spark):
+    """The MOSS composition: exact dups collapse to min id, a long shared
+    passage with >=50% fingerprint overlap collapses transitively, and
+    unrelated docs survive; an Observation accounts the capped rows."""
+    from pyspark.sql import Observation
+    from pyppi_spark.plans.training_set import moss_dedup_documents
+
+    passage = (
+        "a very long shared passage that continues for quite a while and "
+        "dominates the fingerprint set of every document containing it "
+        "because the rest of each document is extremely short"
+    )
+    rows = [
+        (0, passage + " tail zero"),
+        (1, passage + " tail zero"),          # exact dup of 0
+        (2, passage + " other small tail"),   # near dup of 0 (shared passage)
+        (3, passage + " third tiny ending"),  # near dup (chain via 2)
+        (4, "completely unrelated writing about bucketed parquet layouts and shuffles"),
+        (5, "another independent document on watermarks and session windows"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    obs = Observation("moss")
+    out = moss_dedup_documents(
+        docs, k=7, window=4, min_shared=5, min_overlap_frac=0.5,
+        max_bucket_size=100, hash_mode="portable", observation=obs,
+    )
+    survivors = sorted(r.doc_id for r in out.select("doc_id").collect())
+    assert survivors == [0, 4, 5]
+    got = obs.get
+    assert got["rows_dropped"] == 0 and got["rows_total"] > 0
