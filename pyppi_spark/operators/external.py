@@ -1,32 +1,179 @@
 """External-process transform: pipe rows through a user-supplied command.
 
 The reference shells out to external per-record executables and parses
-their stdout back into rows (its S4 surface: the MSMS/reduce subprocess
-calls at ``/root/reference/pyPPI/surfaceComplementarity/VMD.py:61-71`` and
-``bin/PatchDock-type`` stage drivers in ``/root/reference/bin/``). The
-Spark-native shape is the classic ``RDD.pipe`` contract re-expressed over
-``mapInPandas``: one subprocess PER PARTITION (amortized spawn), a writer
-thread feeding the child's stdin while the parent consumes stdout (no
-pipe-buffer deadlock), line-based protocol.
+their stdout back into rows (its S4 surface: the molprobity/reduce
+subprocess stages at ``/root/reference/bin/setupPpiDb.py:86-108`` and the
+MSMS calls in ``/root/reference/pyPPI/surfaceComplementarity/VDW.py``).
+The Spark-native shape is the classic ``RDD.pipe`` contract re-expressed
+over ``mapInPandas``: one subprocess PER PARTITION (amortized spawn), a
+writer thread feeding the child's stdin while the parent consumes stdout
+(no pipe-buffer deadlock), line-based protocol.
 
 Scale notes: zero shuffle — the transform is row-local, so the plan is
 scan → mapInPandas → downstream; the subprocess lifetime equals the
 partition, so a 100 TB run spawns O(partitions) processes, not O(rows).
-The child must emit EXACTLY one output line per input line (enforced;
-a short-writing child raises rather than silently misaligning rows).
+Memory is O(Arrow batch), NOT O(partition): the writer thread consumes
+the source iterator directly (feeding the child as fast as it accepts
+input, at most ``queue_batches`` batches ahead), and the reader yields
+each batch's output rows as soon as the child emits them. The child must
+emit EXACTLY one output line per input line (enforced; a short-writing
+child raises rather than silently misaligning rows).
 
-Protocol restriction (same as ``RDD.pipe``): records cross the pipe as
-lines, so the transformed column must not contain ``\n``/``\r``. Rows
-that do are rejected up front with a clear error (``on_newline="error"``)
-or sanitized (``on_newline="strip"``).
+Child contract (same as ``RDD.pipe``): order-preserving, line-streaming.
+A filter that withholds ALL output until EOF (``sort``-like) both breaks
+row alignment semantically and — under the bounded feed-ahead — stalls
+once its buffered output plus ``queue_batches`` of queued input stop
+making progress; such children are outside the contract. Ordinary
+block-buffered filters (``sed``, ``awk``, ``tr``) are fine: their output
+buffer (4–64 KB) flushes as the writer runs ahead, and stdin close at
+source end flushes the tail.
+
+Protocol restriction: records cross the pipe as lines, so the
+transformed column must not contain ``\n``/``\r``. Rows that do are
+rejected up front with a clear error (``on_newline="error"``) or
+sanitized (``on_newline="strip"``).
 """
 
 from __future__ import annotations
 
+import itertools
+import queue as queue_mod
 import subprocess
 import threading
 
 from pyspark.sql import DataFrame, functions as F
+
+_DONE = object()
+
+
+def _stream_pipe(
+    batches,
+    command: list[str],
+    text_col: str,
+    out_col: str,
+    on_newline: str,
+    batch_check: bool,
+    queue_batches: int,
+):
+    """Generator: feed ``text_col`` of each pandas batch to ``command``'s
+    stdin (writer thread, at most ``queue_batches`` batches ahead) and
+    yield each batch with ``out_col`` attached as its stdout lines arrive.
+    Peak memory ≈ (queue_batches + 1) batches, independent of partition
+    size."""
+    import pandas as pd
+
+    it = iter(batches)
+    first = next(it, None)
+    if first is None:
+        return  # empty partition: never spawn the child
+    batches = itertools.chain([first], it)
+
+    proc = subprocess.Popen(
+        command,
+        stdin=subprocess.PIPE,
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    q: queue_mod.Queue = queue_mod.Queue(maxsize=queue_batches)
+    err: list[BaseException] = []
+
+    def feed() -> None:
+        stdin_dead = False
+        try:
+            for b in batches:
+                lines = []
+                for v in b[text_col]:
+                    v = "" if v is None else str(v)
+                    if "\n" in v or "\r" in v:
+                        if on_newline == "error":
+                            raise ValueError(
+                                "pipe_transform: record contains a newline — "
+                                "the line protocol cannot carry it; "
+                                "pre-normalize the column or pass "
+                                "on_newline='strip'"
+                            )
+                        v = v.replace("\r", " ").replace("\n", " ")
+                    lines.append(v)
+                # hand the batch to the reader BEFORE writing: the reader
+                # must be able to drain stdout while this write blocks.
+                # After a broken pipe keep enqueueing (writes skipped) so
+                # the reader sees every input batch and raises the
+                # short-output contract error instead of silently
+                # truncating the partition.
+                q.put((b, lines))
+                if not stdin_dead and lines:
+                    try:
+                        proc.stdin.write("\n".join(lines) + "\n")
+                        proc.stdin.flush()
+                    except BrokenPipeError:
+                        stdin_dead = True
+            if not stdin_dead:
+                try:
+                    proc.stdin.close()
+                except BrokenPipeError:
+                    pass
+        except BaseException as e:  # noqa: BLE001 — relayed to the reader
+            err.append(e)
+            proc.kill()  # unblock the reader's stdout.readline()
+        finally:
+            q.put(_DONE)
+
+    writer = threading.Thread(target=feed, daemon=True)
+    writer.start()
+    n_in = n_out = 0
+    try:
+        while True:
+            item = q.get()
+            if item is _DONE:
+                break
+            b, lines = item
+            n_in += len(lines)
+            out_lines: list[str | None] = []
+            for _ in range(len(lines)):
+                line = proc.stdout.readline()
+                if line == "":
+                    if err:
+                        raise err[0]
+                    # EOF: a crashed child should surface its exit code,
+                    # not a misleading contract error
+                    try:
+                        rc = proc.wait(timeout=5)
+                    except subprocess.TimeoutExpired:
+                        rc = 0
+                    if rc != 0:
+                        raise RuntimeError(
+                            f"pipe_transform: {command[0]} exited with {rc}"
+                        )
+                    if batch_check:
+                        raise RuntimeError(
+                            f"pipe_transform: {command[0]} emitted "
+                            f"{n_out + len(out_lines)} lines for {n_in} input "
+                            "records so far — the one-line-per-record "
+                            "contract is violated"
+                        )
+                    out_lines.append(None)
+                else:
+                    out_lines.append(line.rstrip("\n"))
+            n_out += len(out_lines)
+            b = b.copy()
+            b[out_col] = pd.Series(out_lines, index=b.index, dtype=object)
+            yield b
+        if err:
+            raise err[0]
+        extra = proc.stdout.readline()
+        rc = proc.wait()
+        if rc != 0:
+            raise RuntimeError(f"pipe_transform: {command[0]} exited with {rc}")
+        if batch_check and extra != "":
+            raise RuntimeError(
+                f"pipe_transform: {command[0]} emitted more lines than the "
+                f"{n_in} input records — the one-line-per-record contract "
+                "is violated"
+            )
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.wait()
 
 
 def pipe_transform(
@@ -36,12 +183,16 @@ def pipe_transform(
     out_col: str = "piped",
     on_newline: str = "error",
     batch_check: bool = True,
+    queue_batches: int = 16,
 ) -> DataFrame:
     """Run ``command`` once per partition; feed ``text_col`` values as
     stdin lines; attach the corresponding stdout lines as ``out_col``.
 
     ``command`` is an argv list (no shell). NULL text crosses as an empty
-    line and comes back as whatever the command emits for it.
+    line and comes back as whatever the command emits for it. Memory is
+    bounded by ``queue_batches`` Arrow batches (the writer's feed-ahead
+    window), not by the partition — raise it only for children with
+    unusually large internal buffering relative to the batch size.
     """
     if on_newline not in ("error", "strip"):
         raise ValueError(f"unknown on_newline {on_newline!r}")
@@ -53,63 +204,10 @@ def pipe_transform(
         raise ValueError(f"output column {out_col!r} already exists")
 
     def run_partition(batches):
-        import pandas as pd
-
-        batches = list(batches)
-        if not batches:
-            return
-        proc = subprocess.Popen(
-            command,
-            stdin=subprocess.PIPE,
-            stdout=subprocess.PIPE,
-            text=True,
+        yield from _stream_pipe(
+            batches, command, text_col, out_col, on_newline, batch_check,
+            queue_batches,
         )
-
-        texts: list[str] = []
-        for b in batches:
-            col = b[text_col]
-            for v in col:
-                v = "" if v is None else str(v)
-                if "\n" in v or "\r" in v:
-                    if on_newline == "error":
-                        proc.kill()
-                        raise ValueError(
-                            "pipe_transform: record contains a newline — the "
-                            "line protocol cannot carry it; pre-normalize the "
-                            "column or pass on_newline='strip'"
-                        )
-                    v = v.replace("\r", " ").replace("\n", " ")
-                texts.append(v)
-
-        def feed() -> None:
-            try:
-                for t in texts:
-                    proc.stdin.write(t + "\n")
-                proc.stdin.close()
-            except BrokenPipeError:
-                pass  # child exited early; the read side raises below
-
-        writer = threading.Thread(target=feed, daemon=True)
-        writer.start()
-        out_lines = [line.rstrip("\n") for line in proc.stdout]
-        writer.join()
-        rc = proc.wait()
-        if rc != 0:
-            raise RuntimeError(f"pipe_transform: {command[0]} exited with {rc}")
-        if batch_check and len(out_lines) != len(texts):
-            raise RuntimeError(
-                f"pipe_transform: {command[0]} emitted {len(out_lines)} lines "
-                f"for {len(texts)} input records — the one-line-per-record "
-                "contract is violated"
-            )
-
-        pos = 0
-        for b in batches:
-            n = len(b)
-            b = b.copy()
-            b[out_col] = pd.Series(out_lines[pos:pos + n], index=b.index, dtype=object)
-            pos += n
-            yield b
 
     return df.mapInPandas(run_partition, schema=out_schema)
 

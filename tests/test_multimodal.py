@@ -101,3 +101,44 @@ def test_pipe_transform_external_process(spark):
     # failing child surfaces its exit code
     with pytest.raises(Exception, match="exited"):
         pipe_transform(docs, ["false"]).collect()
+
+
+def test_stream_pipe_bounded_feed_ahead():
+    """The pipe protocol is streaming, not materialize-then-feed: with a
+    bounded hand-off queue the first OUTPUT batch is yielded long before
+    the source iterator is exhausted — peak memory is O(queue_batches),
+    not O(partition). Pure-Python test of the generator (no Spark)."""
+    import pandas as pd
+    from pyppi_spark.operators.external import _stream_pipe
+
+    consumed = []
+
+    def source(n_batches=64, rows=50):
+        for i in range(n_batches):
+            consumed.append(i)
+            yield pd.DataFrame({"text": [f"b{i}r{j} aaaa" for j in range(rows)]})
+
+    gen = _stream_pipe(
+        source(), ["sed", "-u", "s/a/A/g"], "text", "piped",
+        on_newline="error", batch_check=True, queue_batches=2,
+    )
+    first = next(gen)
+    # writer runs at most queue_batches+2 ahead of the first yield
+    assert len(consumed) <= 6, f"source over-consumed: {len(consumed)} batches"
+    assert first["piped"].iloc[0] == "b0r0 AAAA"
+    rest = list(gen)
+    assert len(rest) == 63 and len(consumed) == 64
+    assert rest[-1]["piped"].iloc[-1].startswith("b63r49")
+    # block-buffered child (plain sed, no -u): same results, the
+    # feed-ahead window covers its output buffering
+    consumed.clear()
+    out = list(_stream_pipe(
+        source(), ["sed", "s/a/A/g"], "text", "piped",
+        on_newline="error", batch_check=True, queue_batches=16,
+    ))
+    assert len(out) == 64 and out[5]["piped"].iloc[1] == "b5r1 AAAA"
+    # empty partition: no subprocess, no output
+    assert list(_stream_pipe(
+        iter([]), ["false"], "text", "piped",
+        on_newline="error", batch_check=True, queue_batches=2,
+    )) == []
