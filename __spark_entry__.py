@@ -1153,7 +1153,8 @@ def q_pipe_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 external-process transform: every document piped through a real
     subprocess (sed, one process per partition, line protocol with a
     writer thread) — the reference's external-executable stage shape
-    (pyPPI/surfaceComplementarity/VMD.py:61-71) re-expressed over
+    (bin/setupPpiDb.py:86-108 molprobity stage;
+    pyPPI/surfaceComplementarity/VDW.py MSMS calls) re-expressed over
     mapInPandas. Oracle = the same byte-level substitution in SQL."""
     from pyppi_spark.operators.external import pipe_transform
 
@@ -1490,6 +1491,24 @@ WITH RECURSIVE QL AS (
 SELECT doc_id, quality, lang_pred FROM X
 WHERE doc_id NOT IN (SELECT n FROM C WHERE n <> rep)
 """.format(lang_case=lang_case, score_cols=score_cols)
+
+
+def _dataset_split_sql() -> str:
+    """Bounds come from the SAME exact-rational helper the operator uses
+    (`split_bounds`) — the oracle cannot drift from the engine on weight
+    sets whose float partial sums round away from the nominal fractions."""
+    from pyppi_spark.operators.sampling import split_bounds
+
+    b = split_bounds({"train": 0.8, "val": 0.1, "test": 0.1})
+    return f"""
+SELECT doc_id,
+  CASE WHEN ('0x' || substr(md5('42|' || doc_id::VARCHAR), 1, 8))::BIGINT < {b[0]}
+       THEN 'train'
+       WHEN ('0x' || substr(md5('42|' || doc_id::VARCHAR), 1, 8))::BIGINT < {b[1]}
+       THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2098,13 +2117,5 @@ SELECT doc_id,
                'a', 'A') AS piped
 FROM documents
 """,
-        "dataset_split": f"""
-SELECT doc_id,
-  CASE WHEN ('0x' || substr(md5('42|' || doc_id::VARCHAR), 1, 8))::BIGINT < {int(0.8 * (1 << 32))}
-       THEN 'train'
-       WHEN ('0x' || substr(md5('42|' || doc_id::VARCHAR), 1, 8))::BIGINT < {int(0.9 * (1 << 32))}
-       THEN 'val'
-       ELSE 'test' END AS split
-FROM documents
-""",
+        "dataset_split": _dataset_split_sql(),
     }

@@ -200,19 +200,22 @@ def decontaminate(
     if strategy == "kernel":
         import pandas as pd
 
-        bench_distinct = bench_gram_rows.select("_g").distinct()
-        n_bench = bench_distinct.count()
-        if n_bench > max_bench_grams:
+        # one bounded job: collect at most the cap + 1 rows — overflow is
+        # detected without a separate count() that would recompute the
+        # whole distinct aggregation
+        rows = (
+            bench_gram_rows.select("_g").distinct()
+            .limit(max_bench_grams + 1).collect()
+        )
+        if len(rows) > max_bench_grams:
             raise ValueError(
-                f"decontaminate(strategy='kernel'): benchmark has {n_bench} "
-                f"distinct grams > max_bench_grams={max_bench_grams}; the "
+                f"decontaminate(strategy='kernel'): benchmark has > "
+                f"max_bench_grams={max_bench_grams} distinct grams; the "
                 "kernel strategy collects the gram set to the driver — use "
                 "strategy='relational' (broadcast join, no driver collect) "
                 "for large benchmarks"
             )
-        bench_set = frozenset(
-            tuple(g.split(" ")) for (g,) in bench_distinct.collect()
-        )
+        bench_set = frozenset(tuple(g.split(" ")) for (g,) in rows)
         bc = docs.sparkSession.sparkContext.broadcast(bench_set)
         id_type = docs.schema[id_col].dataType.simpleString()
         staged = docs.select(

@@ -51,6 +51,35 @@ def stratified_sample(
     )
 
 
+def split_bounds(weights: dict[str, float]) -> list[int]:
+    """Exact integer band bounds on [0, 2^32) for ``dataset_split`` — one
+    bound per split except the last. Computed with exact rational
+    arithmetic (``fractions.Fraction`` of each float weight), not a
+    running float sum: partial float sums can round to a neighboring
+    double and shift a bound by one hash bucket, silently moving ~2^-32
+    of the corpus between splits (and breaking any oracle that derived
+    bounds from the nominal fractions). Shared by the operator and its
+    SQL-oracle generator so the two can never diverge. Validates every
+    weight > 0 and the total ~ 1."""
+    from fractions import Fraction
+
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for name, w in weights.items():
+        if not w > 0:
+            raise ValueError(f"weight for {name!r} must be > 0, got {w}")
+    total = sum(Fraction(w) for w in weights.values())
+    if abs(float(total) - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {float(total)}")
+    names = list(weights)
+    bounds: list[int] = []
+    cum = Fraction(0)
+    for name in names[:-1]:
+        cum += Fraction(weights[name])
+        bounds.append(int(cum * (1 << 32)))
+    return bounds
+
+
 def dataset_split(
     df: DataFrame,
     weights: dict[str, float],
@@ -67,27 +96,23 @@ def dataset_split(
     ``randomSplit`` famously lacks). Zero shuffle: one projection.
 
     Thresholds are exact INTEGER bounds on the 32-bit portable hash
-    (``floor(cum_weight * 2^32)``) — no float comparison, so the oracle
-    (identical md5-prefix arithmetic in SQL) matches bitwise. ``weights``
-    must sum to ~1 (validated); iteration order fixes the band layout, so
-    pass an ordered dict (insertion order is the contract).
+    (``split_bounds``: floor of the exact-rational cumulative weight times
+    2^32) — no float comparison, so the oracle (identical md5-prefix
+    arithmetic in SQL, bounds from the SAME helper) matches bitwise.
+    Weights are validated (> 0, sum ~ 1); iteration order fixes the band
+    layout, so pass an ordered dict (insertion order is the contract).
     """
-    total = sum(weights.values())
-    if abs(total - 1.0) > 1e-9:
-        raise ValueError(f"weights must sum to 1, got {total}")
     if hash_mode not in ("portable", "fast"):
         raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    bounds = split_bounds(weights)
     h = _keyed_hash(id_col, seed, hash_mode)
     if hash_mode == "fast":
         # map xxhash64's signed 64-bit output onto the same [0, 2^32) band
         # domain (portable mode uses the md5-prefix 32-bit value directly)
         h = F.pmod(h, F.lit(1 << 32))
     expr = None
-    cum = 0.0
     names = list(weights)
-    for name in names[:-1]:
-        cum += weights[name]
-        bound = int(cum * (1 << 32))
+    for name, bound in zip(names[:-1], bounds):
         cond = h < F.lit(bound)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = F.lit(names[-1])

@@ -56,3 +56,25 @@ def test_stratified_sample_caps_each_group(spark):
     ids1 = sorted(r.doc_id for r in out.collect())
     ids2 = sorted(r.doc_id for r in stratified_sample(df, ["grp"], 5, "doc_id").collect())
     assert ids1 == ids2
+
+
+def test_split_bounds_exact_and_validated():
+    """Bounds use exact rational partial sums; bad weights are rejected
+    up front instead of yielding non-monotonic or empty bands."""
+    import pytest
+    from fractions import Fraction
+    from pyppi_spark.operators.sampling import split_bounds
+
+    b = split_bounds({"train": 0.8, "val": 0.1, "test": 0.1})
+    assert b == [int(Fraction(0.8) * (1 << 32)),
+                 int((Fraction(0.8) + Fraction(0.1)) * (1 << 32))]
+    assert b[0] < b[1] < (1 << 32)
+    # an awkward weight set: bounds strictly increasing, never collapsing
+    b2 = split_bounds({"a": 0.3, "b": 0.3, "c": 0.3, "d": 0.1})
+    assert all(x < y for x, y in zip(b2, b2[1:]))
+    with pytest.raises(ValueError, match="> 0"):
+        split_bounds({"a": 0.5, "b": 0.0, "c": 0.5})
+    with pytest.raises(ValueError, match="> 0"):
+        split_bounds({"a": 1.2, "b": -0.2})
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_bounds({"a": 0.5, "b": 0.6})
