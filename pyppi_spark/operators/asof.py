@@ -28,11 +28,28 @@ Two formulations, cross-checked in tests:
   Independent code path used as the cross-check and as the extension point
   for nearest/forward directions.
 
-Scale note: both shuffle each side exactly once on the entity key; skewed
-entities are AQE-split for the union form (it is a window, handled by the
-skewed-partition rebalance) while the merge form keeps whole-entity locality
-(required by merge_asof) — pathological single entities are the documented
-straggler risk (SURVEY.md §7.3).
+Scale / skew contract (SURVEY.md §7.3, asserted in
+``tests/test_asof.py::test_union_skew_contract_and_chunked_escape``):
+both formulations shuffle each side exactly once on the entity key, and
+BOTH serialize a single entity into one task — the union form's window
+partitions by the entity key, and AQE's skew-split applies to joins and
+rebalance exchanges, NOT to window partitions (every row of a key must
+reach one task to be ordered). What bounds the damage per formulation:
+
+- union: the giant entity costs one external (spill-capable) sort plus a
+  single linear running-``last`` pass — O(n log n) in the entity size,
+  never quadratic, and other partitions proceed in parallel; over the
+  balanced-bucket layout the window is Exchange-free, so normal-sized
+  conversations never even shuffle.
+- merge: whole-entity locality is REQUIRED by ``pd.merge_asof``; for
+  conversations too large for one Arrow group, the supported escape is
+  the chunked-with-overlap path (``chunk_rows`` in ``asof_join_merge``) —
+  carry-in/carry-out build rows per probe chunk, provably equal to the
+  unchunked result (property-tested to 10^6 turns).
+
+A pathological single conversation therefore degrades to one straggler
+task (union) or chunked parallel tasks (merge+chunk_rows); it cannot OOM
+the union path (sort spills) and cannot silently change results.
 """
 
 from __future__ import annotations

@@ -435,3 +435,39 @@ def test_merge_chunked_shared_lineage(spark, tiny_df):
     a = asof_join_merge(probe, build, **kw).toPandas()
     b = asof_join_merge(probe, build, chunk_rows=3, **kw).toPandas()
     pd.testing.assert_frame_equal(key(a)[sorted(a.columns)], key(b)[sorted(b.columns)])
+
+
+def test_union_skew_contract_and_chunked_escape(spark):
+    """The documented skew contract: the union strategy's window shuffles
+    ONCE on the entity key and cannot be AQE-split for a single giant
+    key (window partitions are not skew-splittable) — the plan shows one
+    hashpartitioning exchange on the key feeding a sort; a skewed corpus
+    (one conversation holding ~90% of rows) still returns results equal
+    to the chunked merge path, which is the supported parallel escape."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyppi_spark.operators.asof import asof_join_merge, asof_join_union
+
+    rows = [("giant", float(i), i) for i in range(2000)]
+    rows += [(f"c{j}", float(j % 7), 0) for j in range(200)]
+    build = spark.createDataFrame(rows, "conv_id string, ts double, turn_idx long")
+    build = build.withColumn("val", F.col("ts") * 2 + F.col("turn_idx"))
+    probe = build.select(
+        "conv_id", (F.col("ts") + 0.5).alias("probe_ts"),
+        F.col("turn_idx").alias("probe_idx"),
+    )
+    kw = dict(probe_ts="probe_ts", by=("conv_id",), payload=["val"],
+              tiebreak="turn_idx", inclusive=True)
+    out_union = asof_join_union(probe, build, **kw)
+    plan = out_union._jdf.queryExecution().executedPlan().toString()
+    # exactly one exchange family on the entity key: the union plan
+    # shuffles the tagged union once (hashpartitioning on conv_id), sorts,
+    # and windows — no join, so AQE's skew-join splitting never applies
+    assert "hashpartitioning(conv_id" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    a = out_union.toPandas().sort_values(["conv_id", "probe_ts", "probe_idx"]).reset_index(drop=True)
+    b = (
+        asof_join_merge(probe, build, chunk_rows=256, **kw)
+        .toPandas().sort_values(["conv_id", "probe_ts", "probe_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)], check_dtype=False)

@@ -41,6 +41,13 @@ JOB_DESC = {
     "conversation via applyInPandas, every user turn probed against the full stream",
     "winnow": "the mapInPandas winnowing-fingerprint kernel (fast rolling "
     "hash) over every turn's text — the Python-kernel dedup/hygiene path, zero shuffle",
+    "lsh": "the shuffle-heavy near-dedup banding class: exact_dedup (window "
+    "over a hash shuffle) -> MinHash signatures (shingle explode + 64-min "
+    "hash aggregation) -> LSH band self-join (capped buckets) over every "
+    "turn's text — per node this exercises the full shuffle machinery "
+    "(exchange, hash-agg spill paths, equi-join); nodes hold disjoint "
+    "quarters, so the cross-node repartition a real cluster adds is the "
+    "one cost not modeled (it is network-, not engine-, bound)",
 }
 
 
@@ -123,6 +130,27 @@ def make_job(part, job_name: str):
             fp.write.format("noop").mode("overwrite").save()
 
         return job
+    if job_name == "lsh":
+        from pyppi_spark.operators.dedup import (
+            exact_dedup,
+            minhash_lsh_candidates,
+            minhash_signatures,
+        )
+
+        docs = part.select(
+            F.concat_ws("#", "conv_id", "turn_idx").alias("doc_id"), "text"
+        )
+        uniq = exact_dedup(docs)  # composition contract: collapse byte-dups first
+        cands = minhash_lsh_candidates(
+            minhash_signatures(uniq, num_hashes=64, shingle_n=3, hash_mode="fast"),
+            bands=16, rows_per_band=4,
+            max_bucket_size=200, hot_bucket="skip",
+        )
+
+        def job() -> None:
+            cands.write.format("noop").mode("overwrite").save()
+
+        return job
     raise ValueError(f"unknown job {job_name!r}")
 
 
@@ -199,6 +227,7 @@ JOB_CONTROL = {
     "features": "cpu",
     "asof_merge": "cpu",
     "winnow": "kernel",
+    "lsh": "cpu",  # pure-JVM shuffle/hash-agg job — no Python workers
 }
 
 # per-job session conf for the process runners. winnow: the kernel's
@@ -497,7 +526,7 @@ def main() -> None:
     ap.add_argument("--ready", type=str, default="")
     ap.add_argument("--go", type=str, default="")
     ap.add_argument("--mode", type=str, default="threads", choices=["threads", "processes"])
-    ap.add_argument("--job", type=str, default="features", choices=["features", "asof_merge", "winnow"])
+    ap.add_argument("--job", type=str, default="features", choices=["features", "asof_merge", "winnow", "lsh"])
     args = ap.parse_args()
 
     if args.runner_range:
