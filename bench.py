@@ -72,6 +72,7 @@ HEADLINE = [
     "simhash_near_dup",
     "chunk_docs",
     "winnow_pairs",
+    "moss_dedup",
 ]
 
 
@@ -170,6 +171,16 @@ def main() -> None:
         yield "winnow_fast", lambda: force(
             winnow_fingerprints_kernel(
                 docs, k=7, window=4, hash_mode="fast",
+                repartition_to=spark.sparkContext.defaultParallelism,
+            )
+        )
+
+        from pyppi_spark.plans.training_set import moss_dedup_documents
+
+        yield "moss_dedup_fast", lambda: force(
+            moss_dedup_documents(
+                docs, k=7, window=4, min_shared=10, min_overlap_frac=0.5,
+                max_bucket_size=200, hash_mode="fast",
                 repartition_to=spark.sparkContext.defaultParallelism,
             )
         )

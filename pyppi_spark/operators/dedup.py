@@ -842,7 +842,11 @@ def simhash_pairs_from_hashes(
     (``_simhash_scheme``) picks e.g. 56 tables x 40-bit keys instead,
     trading a bounded row explode (C(n,t) rows/doc) for ~2^24x fewer
     random collisions. Everything stays JVM codegen: posexplode of the
-    table keys, one fixed-width equi self-join, bit_count verify.
+    table keys, one fixed-width equi self-join, bit_count verify. The
+    reference's analog of this candidate pruning is its kd-tree
+    neighbor search (``/root/reference/pyPPI/kdtree.py:28-36``) — the
+    same idea of touching only key-colliding candidates instead of all
+    pairs, re-expressed as a relational multi-table equi-join.
 
     ``max_bucket_size`` (skip semantics) caps a (table, key) bucket's
     population; unlike the LSH/winnow caps this CAN drop true pairs (hot
