@@ -1107,6 +1107,44 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_candidate_pairs(fp, min_shared=10, max_bucket_size=200)
 
 
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting for training budgets: whitespace word count plus
+    the BPE-ish pre-tokenizer count (optional-leading-space letter / digit
+    / symbol runs — the RE2-compatible simplification of the GPT-2
+    pattern, identical regex on both engines) and chars-per-token.
+    Pure regexp_count codegen, zero shuffle."""
+    from pyppi_spark.functions.text import bpe_token_count, token_count
+
+    docs = _documents(spark, sf_dir)
+    n_ws = F.coalesce(token_count("text"), F.lit(0)).cast("long")
+    n_bpe = bpe_token_count("text")
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(
+            F.coalesce(F.length("text"), F.lit(0)).cast("double")
+            / F.greatest(n_bpe, F.lit(1)),
+            6,
+        ).alias("chars_per_token"),
+    )
+
+
+def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dedup END-TO-END: exact threshold pairs
+    (BLAS prune + codegen-fold verify) -> transitive connected-component
+    representatives over vec_ids — the fifth dedup family (semantic)
+    composed to survivors like the MinHash/MOSS paths. Oracle =
+    brute-force all-pairs cosine + recursive-CTE components."""
+    from pyppi_spark.operators.dedup import near_dedup_representatives
+    from pyppi_spark.operators.similarity import threshold_pairs_exact
+
+    emb = _embeddings(spark, sf_dir)
+    pairs = threshold_pairs_exact(emb, threshold=0.45, dim=EMBED_DIM).select("a", "b")
+    out = near_dedup_representatives(emb, pairs, id_col="vec_id")
+    return out.select("vec_id")
+
+
 def q_moss_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MOSS near-dedup composition END-TO-END under the driver gate
     (plans.training_set.moss_dedup_documents): exact normalized-content
@@ -1218,6 +1256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "winnow_pairs": q_winnow_pairs,
         "moss_dedup": q_moss_dedup,
+        "token_stats": q_token_stats,
+        "embed_dedup": q_embed_dedup,
     }
 
 
@@ -1275,6 +1315,8 @@ GROUP BY user_id
 
 
 _NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+# the engine's BPE_TOKEN_PATTERN verbatim (RE2-compatible by construction)
+from pyppi_spark.functions.text import BPE_TOKEN_PATTERN as _BPE_PAT  # noqa: E402
 _NORM_COALESCED = r"regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g')"
 _H32 = "('0x'||substr(md5({x}),1,8))::BIGINT"
 
@@ -2000,6 +2042,34 @@ SELECT DISTINCT doc_id,
        min(h) OVER (PARTITION BY doc_id ORDER BY pos
                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
 FROM H
+""",
+        "token_stats": rf"""
+SELECT doc_id,
+  coalesce(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END, 0)::BIGINT AS n_ws_tokens,
+  coalesce(len(regexp_extract_all(text, '{_BPE_PAT}')), 0)::BIGINT AS n_bpe_tokens,
+  round(coalesce(length(text), 0)::DOUBLE
+        / greatest(coalesce(len(regexp_extract_all(text, '{_BPE_PAT}')), 0), 1), 6)
+    AS chars_per_token
+FROM documents
+""",
+        "embed_dedup": """
+WITH RECURSIVE e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), P AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+), NN AS (SELECT a AS n FROM P UNION SELECT b FROM P
+), E2 AS (SELECT a AS s, b AS d FROM P UNION SELECT b, a FROM P
+), R(n, l) AS (
+  SELECT n, n FROM NN
+  UNION
+  SELECT e2.d, r.l FROM R r JOIN E2 e2 ON r.n = e2.s
+), C AS (SELECT n, min(l) AS rep FROM R GROUP BY n)
+SELECT vec_id FROM e
+WHERE vec_id NOT IN (SELECT n FROM C WHERE n <> rep)
 """,
         "moss_dedup": rf"""
 WITH RECURSIVE X AS (

@@ -73,6 +73,8 @@ HEADLINE = [
     "chunk_docs",
     "winnow_pairs",
     "moss_dedup",
+    "token_stats",
+    "embed_dedup",
 ]
 
 

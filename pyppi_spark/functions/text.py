@@ -31,6 +31,27 @@ def token_count(col: str | Column = "text") -> Column:
     ).cast("long")
 
 
+# GPT-2-style pre-tokenizer shape, simplified to the RE2-compatible
+# subset (no lookahead, no \p classes) so the IDENTICAL pattern runs in
+# Java regex (Spark regexp_count) and DuckDB RE2 (len(regexp_extract_all)):
+# a token is an optional leading space + a letter run, digit run, or
+# other-symbol run; residual whitespace runs count as their own token.
+# Alternation is leftmost-first in both engines and the branches are
+# disjoint at any start position, so the tokenization is engine-portable.
+BPE_TOKEN_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_count(col: str | Column = "text") -> Column:
+    """BPE-ish pre-tokenizer token count (the budget unit of an LLM
+    training pipeline — whitespace words under-count code/punctuation-
+    dense text): non-overlapping matches of ``BPE_TOKEN_PATTERN``.
+    Pure ``regexp_count`` codegen; NULL text counts 0."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(
+        F.regexp_count(c, F.lit(BPE_TOKEN_PATTERN)), F.lit(0)
+    ).cast("long")
+
+
 def char_stats(col: str | Column = "text") -> dict[str, Column]:
     c = F.col(col) if isinstance(col, str) else col
     n = F.length(c).cast("double")

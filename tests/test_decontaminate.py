@@ -242,3 +242,23 @@ def test_chunk_documents_coverage_and_overlap(spark):
     import pytest
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+def test_bpe_token_count_known_values(spark):
+    """The RE2-portable BPE-ish pre-tokenizer counts: leading spaces
+    attach to the following run, letter/digit/symbol runs split, residual
+    whitespace runs are one token, NULL/empty count 0."""
+    from pyppi_spark.functions.text import bpe_token_count
+
+    rows = [
+        (0, "hello world"),        # "hello", " world"
+        (1, "a1b!"),               # "a", "1", "b", "!"
+        (2, "  x"),                # "  ", "x" (double space can't attach)
+        (3, "don't stop"),         # "don", "'", "t", " stop"
+        (4, None),
+        (5, ""),
+        (6, "price: 42 dollars"),  # "price", ":", " 42", " dollars"
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.n for r in docs.select("doc_id", bpe_token_count("text").alias("n")).collect()}
+    assert got == {0: 2, 1: 4, 2: 2, 3: 4, 4: 0, 5: 0, 6: 4}
