@@ -1145,6 +1145,32 @@ def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id")
 
 
+JSONL_FIXTURE = "/root/repo/fixtures/documents.jsonl"
+
+
+def q_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-family JSONL document ingest (the de-facto LLM-corpus feed):
+    explicit schema (no double-pass inference), newline-delimited
+    (splittable), PERMISSIVE corrupt-record quarantine — valid rows out,
+    malformed lines preserved for a bad-row ledger (2 planted in the
+    committed fixture). Oracle = DuckDB read_json over the same file
+    (its ignore_errors null-fills bad lines, so both engines filter on
+    doc_id IS NOT NULL)."""
+    from pyppi_spark.sources.jsonl import read_jsonl_documents, split_corrupt
+
+    df = read_jsonl_documents(
+        spark, JSONL_FIXTURE,
+        schema="doc_id bigint, text string, lang string, score double",
+    )
+    valid, _bad = split_corrupt(df)
+    return valid.where(F.col("doc_id").isNotNull()).select(
+        "doc_id",
+        F.length("text").cast("long").alias("text_len"),
+        "lang",
+        F.round("score", 6).alias("score"),
+    )
+
+
 def q_moss_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MOSS near-dedup composition END-TO-END under the driver gate
     (plans.training_set.moss_dedup_documents): exact normalized-content
@@ -1258,6 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moss_dedup": q_moss_dedup,
         "token_stats": q_token_stats,
         "embed_dedup": q_embed_dedup,
+        "jsonl_scan": q_jsonl_scan,
     }
 
 
@@ -2052,6 +2079,13 @@ SELECT doc_id,
         / greatest(coalesce(len(regexp_extract_all(text, '{_BPE_PAT}')), 0), 1), 6)
     AS chars_per_token
 FROM documents
+""",
+        "jsonl_scan": f"""
+SELECT doc_id, length(text)::BIGINT AS text_len, lang, round(score, 6) AS score
+FROM read_json('{JSONL_FIXTURE}', format='newline_delimited',
+               columns={{doc_id: 'BIGINT', text: 'VARCHAR', lang: 'VARCHAR', score: 'DOUBLE'}},
+               ignore_errors=true)
+WHERE doc_id IS NOT NULL
 """,
         "embed_dedup": """
 WITH RECURSIVE e AS (

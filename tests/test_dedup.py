@@ -421,6 +421,48 @@ def test_simhash_block_combination_equal_recall(spark):
     assert len(brute) >= 12  # every planted partner found
 
 
+def test_simhash_pigeonhole_property_random_schemes():
+    """Pure-math property over random (max_hamming, scheme, hash pair):
+    any pair within the Hamming ball shares at least one table key under
+    ANY valid (n_blocks, key_blocks) — the invariant that makes candidate
+    generation exact. Mirrors the operator's block/key construction
+    bit-for-bit (hash = hi<<32 | lo; block i = bits [i*w, (i+1)*w))."""
+    import itertools
+    import math
+    from pyppi_spark.operators.dedup import _simhash_scheme
+
+    rng = np.random.default_rng(11)
+    for _ in range(200):
+        k = int(rng.integers(1, 9))
+        if rng.random() < 0.5:
+            n, t = _simhash_scheme(k)
+        else:
+            n = int(rng.choice([m for m in (2, 4, 8, 16, 32, 64) if m > k]))
+            ts = [t for t in range(1, n - k + 1) if math.comb(n, t) <= 256]
+            t = int(rng.choice(ts))
+        w = 64 // n
+        h1 = int(rng.integers(0, 1 << 64, dtype=np.uint64))
+        flips = rng.choice(64, size=int(rng.integers(0, k + 1)), replace=False)
+        h2 = h1
+        for b in flips:
+            h2 ^= 1 << int(b)
+
+        def keys(h):
+            blocks = [(h >> (i * w)) & ((1 << w) - 1) for i in range(n)]
+            out = []
+            for s in itertools.combinations(range(n), t):
+                key = 0
+                for i in s:
+                    key = (key << w) | blocks[i]
+                out.append(key)
+            return out
+
+        k1, k2 = keys(h1), keys(h2)
+        shared = any(a == b for a, b in zip(k1, k2))
+        assert shared, (k, n, t, bin(h1 ^ h2))
+        assert math.comb(n, t) == len(k1)
+
+
 def test_simhash_cap_observation_accounts_drops(spark):
     """max_bucket_size with an Observation reports the dropped banded rows
     instead of silently losing recall: a planted identical-hash cluster

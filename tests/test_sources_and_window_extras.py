@@ -127,3 +127,26 @@ def test_group_normalized_ratio(spark):
     )
     got = out["gap_prev_s_norm"].tolist()
     assert pd.isna(got[0]) and abs(got[1] - 0.25) < 1e-12 and got[2] == 1.0
+
+
+def test_jsonl_source_quarantine_and_unicode(spark):
+    """JSONL ingest: explicit schema, malformed lines quarantined (never
+    silently dropped), unicode round-trips, missing fields parse as NULL
+    rather than corrupting the row."""
+    from pyppi_spark.sources.jsonl import read_jsonl_documents, split_corrupt
+
+    df = read_jsonl_documents(
+        spark, "/root/repo/fixtures/documents.jsonl",
+        schema="doc_id bigint, text string, lang string, score double",
+    )
+    df.persist()
+    valid, bad = split_corrupt(df)
+    assert df.count() == 13            # every input line is accounted for
+    assert valid.count() == 11
+    bad_lines = [r[0] for r in bad.collect()]
+    assert len(bad_lines) == 2 and "not json at all" in bad_lines[1]
+    rows = {r.doc_id: r for r in valid.collect()}
+    assert rows[1].text == "naïve café résumé — unicode survives the pipeline"
+    assert rows[100].text is None      # missing field -> NULL, not corrupt
+    assert rows[5].text is None        # explicit null survives
+    df.unpersist()
