@@ -53,6 +53,30 @@ def read_jsonl_documents(
     )
 
 
+def read_jsonl_stream(
+    spark: SparkSession,
+    path: str,
+    schema: str = "doc_id bigint, text string",
+    corrupt_col: str = "_corrupt_record",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Structured-Streaming form of ``read_jsonl_documents`` — the
+    continuously-arriving corpus feed (a crawler dropping JSONL shards
+    into a landing directory). Identical schema/quarantine contract to
+    the batch reader (tested batch ≡ stream over the same files);
+    ``max_files_per_trigger`` bounds per-microbatch input for backfill
+    runs over a large landing prefix."""
+    reader = (
+        spark.readStream.schema(f"{schema}, {corrupt_col} string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .option("multiLine", "false")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.json(path)
+
+
 def split_corrupt(
     df: DataFrame, corrupt_col: str = "_corrupt_record"
 ) -> tuple[DataFrame, DataFrame]:

@@ -566,3 +566,34 @@ def test_winnow_candidate_pairs_guarantee_and_cap(spark):
     assert all(2 not in k for k in pairs)
     # cap=1 drops every fingerprint shared by >1 doc → no pairs at all
     assert winnow_candidate_pairs(fp, min_shared=1, max_bucket_size=1).count() == 0
+
+
+def test_observation_metrics_elided_corner(spark):
+    """When every row is capped away the final AQE plan elides the
+    CollectMetrics node and raw Observation.get fails; the
+    observation_metrics helper folds that corner into None (treat as
+    'everything capped'), and returns exact counts in the normal case."""
+    from pyspark.sql import Observation
+    from pyppi_spark.metrics import observation_metrics
+    from pyppi_spark.operators.dedup import simhash_pairs_from_hashes
+
+    # all docs share one hash; cap drops every banded row -> empty output
+    rows = [(i, 0x1111, 0x2222) for i in range(20)]
+    sim = spark.createDataFrame(rows, "doc_id long, _hi long, _lo long")
+    obs = Observation("elided")
+    out = simhash_pairs_from_hashes(
+        sim, max_hamming=3, max_bucket_size=5, observation=obs
+    )
+    assert out.count() == 0
+    assert observation_metrics(obs) is None
+
+    # non-empty output: helper returns the exact counts
+    rows2 = rows + [(100, 0xF0F0, 0x0F0F), (101, 0xF0F0, 0x0F0F)]
+    sim2 = spark.createDataFrame(rows2, "doc_id long, _hi long, _lo long")
+    obs2 = Observation("ok")
+    out2 = simhash_pairs_from_hashes(
+        sim2, max_hamming=3, max_bucket_size=5, observation=obs2
+    )
+    assert out2.count() == 1  # the (100, 101) pair survives
+    m = observation_metrics(obs2)
+    assert m is not None and m["rows_dropped"] == 20 * 56 and m["rows_total"] == 22 * 56

@@ -177,3 +177,41 @@ def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
         for r in exact_dedup(spark.createDataFrame(pdf)).collect()
     )
     assert got == want
+
+
+def test_jsonl_stream_equals_batch(spark, tmp_path):
+    """The streaming JSONL reader applies the identical schema/quarantine
+    contract as the batch reader: same valid rows, same quarantined line
+    count, over the same landing directory."""
+    import shutil
+
+    from pyppi_spark.sources.jsonl import (
+        read_jsonl_documents,
+        read_jsonl_stream,
+        split_corrupt,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    shutil.copy("/root/repo/fixtures/documents.jsonl", landing / "part0.jsonl")
+    schema = "doc_id bigint, text string, lang string, score double"
+
+    batch = read_jsonl_documents(spark, str(landing), schema=schema)
+    batch.persist()
+    bvalid, bbad = split_corrupt(batch)
+
+    stream = read_jsonl_stream(spark, str(landing), schema=schema)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("jsonl_stream_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("jsonl_stream_sink")
+    got.persist()
+    svalid, sbad = split_corrupt(got)
+    key = lambda df: df.toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert key(bvalid).equals(key(svalid))
+    assert bbad.count() == sbad.count() == 2
+    batch.unpersist(); got.unpersist()
