@@ -78,12 +78,21 @@ def read_jsonl_stream(
 
 
 def split_corrupt(
-    df: DataFrame, corrupt_col: str = "_corrupt_record"
+    df: DataFrame, corrupt_col: str = "_corrupt_record", cache: bool = True
 ) -> tuple[DataFrame, DataFrame]:
     """(valid, quarantined): valid rows with the quarantine column
     dropped, and the malformed lines as (``corrupt_col``) rows for a
-    bad-row ledger. A caching note for callers that materialize BOTH
-    sides: ``df.persist()`` first, or the scan runs twice."""
+    bad-row ledger.
+
+    ``cache=True`` (default) persists the parsed scan first — Spark
+    REFUSES corrupt-column-only queries against a raw JSON scan
+    (``UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN``; column
+    pruning would make the parser skip the very parse that detects
+    corruption), and materializing both sides wants the scan cached
+    anyway. Pass ``cache=False`` only if the caller persists ``df``
+    itself."""
+    if cache and not df.isStreaming:  # streaming plans cannot persist
+        df = df.persist()
     valid = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
     bad = df.where(F.col(corrupt_col).isNotNull()).select(corrupt_col)
     return valid, bad
