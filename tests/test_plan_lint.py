@@ -1,0 +1,56 @@
+"""Repo-wide physical-plan invariants over EVERY driver query.
+
+The scale discipline, enforced rather than promised:
+
+- no row-at-a-time Python (`BatchEvalPython`) anywhere — Python only in
+  Arrow-vectorized nodes,
+- `BroadcastNestedLoopJoin` only where the broadcast side is provably
+  tiny (explicit allowlist),
+- the zero-shuffle query class stays Exchange-free (a regression that
+  adds a shuffle to a scan→project query fails here, not in a bench
+  eyeball).
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.append("/root/repo/tools")
+
+BNLJ_ALLOWED = {
+    # brute-force top-k baseline: the 5-row query side broadcasts; the
+    # "join" is effectively a 5x map over candidates
+    "similarity_topk",
+    # 1-row corpus-size scalar cross join for the IDF denominator
+    "top_tokens",
+}
+
+ZERO_SHUFFLE = {
+    "text_stats", "pii_stats", "dataset_split", "chunk_docs",
+    "token_stats", "jsonl_scan",
+}
+
+KERNEL_ZERO_SHUFFLE = {"media_features", "frame_sample", "winnow", "pipe_transform"}
+
+
+def test_plan_invariants_all_queries(spark):
+    from plan_lint import audit
+
+    rows = audit(spark=spark)
+    assert len(rows) >= 56
+    errs = {n for n, r in rows.items() if r["err"]}
+    assert not errs, f"queries failed to build a plan: {errs}"
+    py_row = {n for n, r in rows.items() if r["batch_eval_python"] > 0}
+    assert not py_row, f"row-at-a-time Python in: {py_row}"
+    bnlj = {n for n, r in rows.items() if r["bnl_joins"] > 0}
+    assert bnlj <= BNLJ_ALLOWED, f"unexpected BroadcastNestedLoopJoin in: {bnlj - BNLJ_ALLOWED}"
+    for n in ZERO_SHUFFLE:
+        r = rows[n]
+        assert r["shuffle_exchanges"] == r["range_exchanges"] == 0, (
+            f"{n} must stay Exchange-free, got {r}"
+        )
+    for n in KERNEL_ZERO_SHUFFLE:
+        r = rows[n]
+        assert r["shuffle_exchanges"] == 0 and (
+            r["map_in_pandas"] + r["arrow_eval"] >= 1
+        ), f"{n} must be a zero-shuffle Arrow kernel, got {r}"
