@@ -54,3 +54,24 @@ def test_plan_invariants_all_queries(spark):
         assert r["shuffle_exchanges"] == 0 and (
             r["map_in_pandas"] + r["arrow_eval"] >= 1
         ), f"{n} must be a zero-shuffle Arrow kernel, got {r}"
+
+
+def test_pushdown_and_column_pruning(spark):
+    """Filters reach the parquet scan (PushedFilters) and the scan reads
+    only referenced columns (ReadSchema excludes unused ones) — the two
+    properties that decide whether a 100 TB scan reads 100 TB or a
+    fraction of it."""
+    import re
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    plan = e.queries()["pit_features"](spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(event_type,purchase)" in plan  # probe filter pushed to scan
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert schemas and all("props" not in s and "value" not in s for s in schemas), (
+        "events scan must prune unreferenced columns (props/value)")
+
+    # text query: documents scan prunes everything but (doc_id, text)
+    plan2 = e.queries()["text_stats"](spark, sf)._jdf.queryExecution().executedPlan().toString()
+    s2 = re.findall(r"ReadSchema: (\S+)", plan2)
+    assert s2 and all(set(re.findall(r"(\w+):", x)) <= {"doc_id", "text"} for x in s2)
