@@ -601,3 +601,200 @@ def embedding_neardup_pairs(
         .where(F.col("cos_sim") >= threshold)
         .select("a", "b", F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+# ------------------------------------------------------------------ PQ
+
+def train_pq(
+    candidates: DataFrame,
+    m: int = 16,
+    n_codes: int = 32,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = 10_000,
+    iters: int = 8,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train product-quantization codebooks (Jégou et al., "Product
+    quantization for nearest neighbor search"): split the (L2-normalized)
+    vector into ``m`` contiguous subvectors and run seeded k-means with
+    ``n_codes`` centroids in each subspace → codebooks of shape
+    (m, n_codes, dim/m). A PQ code stores a vector in m·log2(n_codes)
+    bits — at the defaults 80 bits vs 64×8 bytes, the ~50× compression
+    that lets a billion-vector index live in executor memory (the reason
+    IVF-*flat* stops scaling: it re-reads full vectors per probe).
+
+    Sampling and the per-subspace Lloyd loop reuse the IVF trainer's
+    machinery (bounded deterministic sample, driver-side numpy — see
+    ``train_centroids`` for why not MLlib). Vectors are L2-normalized
+    BEFORE splitting so the asymmetric-distance dot approximates cosine.
+    """
+    side = candidates.select(_as_double(vec_col).alias("v"), F.col(id_col).alias("_id"))
+    n = side.count()
+    h = F.pmod(F.xxhash64(F.col("_id"), F.lit(seed)), F.lit(1_000_000))
+    if n > 4 * sample_rows:
+        side = side.where(h < int(4 * sample_rows / n * 1_000_000) + 1)
+    sample = np.array(side.orderBy(h, "_id").limit(sample_rows).toPandas()["v"].tolist())
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    sub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, n_codes, sub), dtype=np.float64)
+    for j in range(m):
+        S = sample[:, j * sub:(j + 1) * sub]
+        cent = S[rng.choice(len(S), n_codes, replace=False)]
+        for _ in range(iters):
+            # squared-L2 assignment (standard PQ; subvectors are not unit)
+            d2 = (S * S).sum(1)[:, None] - 2.0 * (S @ cent.T) + (cent * cent).sum(1)[None, :]
+            assign = np.argmin(d2, axis=1)
+            for c in range(n_codes):
+                members = S[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): each vector L2-normalized, split into
+    subvectors, each assigned its nearest codebook centroid (squared L2)
+    — one BLAS pass per Arrow batch per subspace, broadcast codebooks,
+    ZERO shuffle (encoding is row-local; the plan is scan → mapInPandas).
+    The encoded table is what a 100 TB corpus materializes once and
+    serves many query batches from."""
+    import pandas as pd
+
+    B = codebooks.astype(np.float64)
+    m, n_codes, sub = B.shape
+    id_type = df.schema[id_col].dataType.simpleString()
+    bc = df.sparkSession.sparkContext.broadcast(B)
+
+    def kernel(batches):
+        books = bc.value
+        for b in batches:
+            if not len(b):
+                continue
+            V = np.stack(b["_v"].to_numpy()).astype(np.float64)
+            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            codes = np.empty((len(V), m), dtype=np.int32)
+            for j in range(m):
+                S = V[:, j * sub:(j + 1) * sub]
+                C = books[j]
+                d2 = (S * S).sum(1)[:, None] - 2.0 * (S @ C.T) + (C * C).sum(1)[None, :]
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame({id_col: b["_id"].to_numpy(), "codes": list(codes)})
+
+    staged = df.select(F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v"))
+    return staged.mapInPandas(kernel, schema=f"{id_col} {id_type}, codes array<int>")
+
+
+def pq_topk(
+    queries: DataFrame,
+    codes_df: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    rerank: DataFrame | None = None,
+    rerank_factor: int = 4,
+    dim: int | None = None,
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: for each query build the
+    m × n_codes lookup table LUT[j][c] = q_j · codebook[j][c] (driver-side,
+    tiny), broadcast all LUTs, and score every encoded candidate with m
+    table lookups + adds per vector — no decode, no full-vector reads.
+    Per-partition top-k' in the kernel bounds the output at
+    (queries × k' × partitions) rows before the exact global window.
+
+    ``rerank``: pass the ORIGINAL vector table to re-score the top
+    ``rerank_factor × k`` ADC candidates with exact JVM-fold cosine — the
+    standard two-stage serving shape (ADC recall@4k is near-1, exact
+    re-rank restores exact ordering). Output matches ``brute_force_topk``
+    columns; ``cos_sim`` is the ADC approximation when ``rerank`` is None.
+
+    The query set is collected to the driver (LUT construction) and
+    guarded by ``max_queries`` — ANN serving batches are bounded; for an
+    unbounded query table use ``ivf_topk``/``lsh_topk``.
+    """
+    import pandas as pd
+
+    B = codebooks.astype(np.float64)
+    m, n_codes, sub = B.shape
+    qrows = queries.select(
+        F.col(id_col).alias("_qid"), _as_double(vec_col).alias("_v")
+    ).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"pq_topk: > max_queries={max_queries} query rows; PQ serving "
+            "expects bounded query batches — use ivf_topk/lsh_topk for "
+            "query tables"
+        )
+    qids = [r["_qid"] for r in qrows]
+    Q = np.array([r["_v"] for r in qrows], dtype=np.float64)
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    # LUT[q, j, c] = q_sub_j . B[j, c]
+    lut = np.einsum("qjs,jcs->qjc", Q.reshape(len(Q), m, sub), B)
+    bc = codes_df.sparkSession.sparkContext.broadcast((qids, lut))
+    kk = max(k, rerank_factor * k if rerank is not None else k)
+    id_type = codes_df.schema[id_col].dataType.simpleString()
+
+    def kernel(batches):
+        qids_b, lut_b = bc.value
+        nq = len(qids_b)
+        for b in batches:
+            if not len(b):
+                continue
+            codes = np.stack(b["codes"].to_numpy()).astype(np.int64)  # N x m
+            ids = b[id_col].to_numpy()
+            # scores: for each query, sum_j LUT[q, j, codes[:, j]] -> N
+            out_q, out_id, out_s = [], [], []
+            for qi in range(nq):
+                s = lut_b[qi][np.arange(m)[None, :], codes].sum(axis=1)  # N
+                mask = ids != qids_b[qi]
+                sm, idm = s[mask], ids[mask]
+                top = np.argsort(-sm, kind="stable")[:kk]
+                out_q.extend([qids_b[qi]] * len(top))
+                out_id.extend(idm[top])
+                out_s.extend(sm[top])
+            yield pd.DataFrame({query_id_col: out_q, "neighbor_id": out_id, "_adc": out_s})
+
+    cand = codes_df.mapInPandas(
+        kernel, schema=f"{query_id_col} {id_type}, neighbor_id {id_type}, _adc double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("_adc").desc(), "neighbor_id")
+    shortlist = cand.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") <= kk)
+    if rerank is None:
+        return shortlist.select(
+            query_id_col, "neighbor_id", F.col("_rk").alias("rk"),
+            F.round("_adc", 6).alias("cos_sim"),
+        ).where(F.col("rk") <= k)
+    d = dim or codebooks.shape[0] * codebooks.shape[2]
+    cv = _as_double(vec_col)
+    cvec = rerank.select(F.col(id_col).alias("neighbor_id"), cv.alias("_vc"), l2_norm(cv, d).alias("_cn"))
+    qvec = rerank.sparkSession.createDataFrame(
+        [(q, [float(x) for x in v]) for q, v in zip(qids, np.array([r["_v"] for r in qrows], dtype=np.float64))],
+        f"{query_id_col} {id_type}, _vq array<double>",
+    ).select(query_id_col, "_vq", l2_norm(F.col("_vq"), d).alias("_qn"))
+    exact = (
+        shortlist.join(cvec, "neighbor_id")
+        .join(F.broadcast(qvec), query_id_col)
+        .select(
+            query_id_col, "neighbor_id",
+            _cos(F.col("_vq"), F.col("_vc"), F.col("_qn"), F.col("_cn"), d).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        exact.withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") <= k)
+        .select(query_id_col, "neighbor_id", "rk", F.round("cos_sim", 6).alias("cos_sim"))
+    )
