@@ -798,3 +798,198 @@ def pq_topk(
         .where(F.col("rk") <= k)
         .select(query_id_col, "neighbor_id", "rk", F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+def train_ivf_pq(
+    candidates: DataFrame,
+    n_centroids: int = 16,
+    m: int = 16,
+    n_codes: int = 32,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = 10_000,
+    iters: int = 8,
+    seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train the IVFADC index of Jégou et al.: a coarse quantizer
+    (``n_centroids`` cells over L2-normalized vectors) plus PQ codebooks
+    trained on the RESIDUALS v − centroid(v). Residual PQ is what makes
+    IVF-PQ beat flat PQ: residual magnitudes are a fraction of vector
+    magnitudes, so the same code budget quantizes far finer. Returns
+    (centroids (n_centroids, dim), codebooks (m, n_codes, dim/m)) — both
+    pure functions of (data sample, seed)."""
+    side = candidates.select(_as_double(vec_col).alias("v"), F.col(id_col).alias("_id"))
+    n = side.count()
+    h = F.pmod(F.xxhash64(F.col("_id"), F.lit(seed)), F.lit(1_000_000))
+    if n > 4 * sample_rows:
+        side = side.where(h < int(4 * sample_rows / n * 1_000_000) + 1)
+    sample = np.array(side.orderBy(h, "_id").limit(sample_rows).toPandas()["v"].tolist())
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    S = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    cent = _kmeans(S.copy(), n_centroids, iters, seed)
+    # residuals w.r.t. the EUCLIDEAN-nearest cell (the assignment pq
+    # encode/search will use; cosine vs L2 agree on unit vectors for the
+    # argmin up to the centroid-norm term, so pin one: L2)
+    d2 = (S * S).sum(1)[:, None] - 2.0 * (S @ cent.T) + (cent * cent).sum(1)[None, :]
+    R = S - cent[np.argmin(d2, axis=1)]
+    sub = dim // m
+    rng = np.random.default_rng(seed + 1)
+    books = np.empty((m, n_codes, sub), dtype=np.float64)
+    for j in range(m):
+        Rj = R[:, j * sub:(j + 1) * sub]
+        cj = Rj[rng.choice(len(Rj), n_codes, replace=False)]
+        for _ in range(iters):
+            dd = (Rj * Rj).sum(1)[:, None] - 2.0 * (Rj @ cj.T) + (cj * cj).sum(1)[None, :]
+            assign = np.argmin(dd, axis=1)
+            for c in range(n_codes):
+                members = Rj[assign == c]
+                if len(members):
+                    cj[c] = members.mean(axis=0)
+        books[j] = cj
+    return cent, books
+
+
+def ivf_pq_encode(
+    df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, codes): assign each (normalized) vector its L2-nearest
+    cell and PQ-encode the residual — ONE zero-shuffle Arrow kernel (at
+    100 TB this runs once per corpus; write the output partitioned or
+    bucketed by ``cell`` so query probes prune at the storage layer)."""
+    import pandas as pd
+
+    C = centroids.astype(np.float64)
+    B = codebooks.astype(np.float64)
+    m, n_codes, sub = B.shape
+    id_type = df.schema[id_col].dataType.simpleString()
+    bc = df.sparkSession.sparkContext.broadcast((C, B))
+
+    def kernel(batches):
+        Cb, Bb = bc.value
+        for b in batches:
+            if not len(b):
+                continue
+            V = np.stack(b["_v"].to_numpy()).astype(np.float64)
+            V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+            d2 = (V * V).sum(1)[:, None] - 2.0 * (V @ Cb.T) + (Cb * Cb).sum(1)[None, :]
+            cell = np.argmin(d2, axis=1)
+            R = V - Cb[cell]
+            codes = np.empty((len(V), m), dtype=np.int32)
+            for j in range(m):
+                Rj = R[:, j * sub:(j + 1) * sub]
+                Cj = Bb[j]
+                dd = (Rj * Rj).sum(1)[:, None] - 2.0 * (Rj @ Cj.T) + (Cj * Cj).sum(1)[None, :]
+                codes[:, j] = np.argmin(dd, axis=1)
+            yield pd.DataFrame(
+                {id_col: b["_id"].to_numpy(), "cell": cell.astype("int32"), "codes": list(codes)}
+            )
+
+    staged = df.select(F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v"))
+    return staged.mapInPandas(kernel, schema=f"{id_col} {id_type}, cell int, codes array<int>")
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    index_df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    rerank: DataFrame | None = None,
+    rerank_factor: int = 4,
+    max_queries: int = 10_000,
+) -> DataFrame:
+    """IVFADC search: each query probes its ``n_probe`` nearest cells and
+    scores only candidates in those cells, by asymmetric distance over
+    RESIDUAL codes — LUT[q, cell, j, c] = (q − centroid_cell)_j ·
+    codebook[j][c], plus the constant q·centroid_cell term, approximates
+    q·v. The per-(query, cell) LUT tensor is
+    queries × n_probe × m × n_codes doubles (driver-tiny), broadcast
+    once. Candidates outside probed cells cost ZERO work per query (and
+    at rest, with the index written cell-partitioned, zero I/O). Optional
+    exact re-rank identical to ``pq_topk``."""
+    import pandas as pd
+
+    C = centroids.astype(np.float64)
+    B = codebooks.astype(np.float64)
+    m, n_codes, sub = B.shape
+    dim = C.shape[1]
+    qrows = queries.select(
+        F.col(id_col).alias("_qid"), _as_double(vec_col).alias("_v")
+    ).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(f"ivf_pq_topk: > max_queries={max_queries} query rows")
+    qids = [r["_qid"] for r in qrows]
+    Qraw = np.array([r["_v"] for r in qrows], dtype=np.float64)
+    Q = Qraw / np.maximum(np.linalg.norm(Qraw, axis=1, keepdims=True), 1e-12)
+    d2 = (Q * Q).sum(1)[:, None] - 2.0 * (Q @ C.T) + (C * C).sum(1)[None, :]
+    probes = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]          # Q x P
+    resid = Q[:, None, :] - C[probes]                                    # Q x P x dim
+    lut = np.einsum("qpjs,jcs->qpjc", resid.reshape(len(Q), n_probe, m, sub), B)
+    const = np.einsum("qd,qpd->qp", Q, C[probes])                        # q . centroid
+    bc = index_df.sparkSession.sparkContext.broadcast((qids, probes, lut, const))
+    kk = max(k, rerank_factor * k if rerank is not None else k)
+    id_type = index_df.schema[id_col].dataType.simpleString()
+
+    def kernel(batches):
+        qids_b, probes_b, lut_b, const_b = bc.value
+        for b in batches:
+            if not len(b):
+                continue
+            cells = b["cell"].to_numpy()
+            codes = np.stack(b["codes"].to_numpy()).astype(np.int64)
+            ids = b[id_col].to_numpy()
+            out_q, out_id, out_s = [], [], []
+            for qi in range(len(qids_b)):
+                for pi in range(probes_b.shape[1]):
+                    mask = (cells == probes_b[qi, pi]) & (ids != qids_b[qi])
+                    if not mask.any():
+                        continue
+                    cm = codes[mask]
+                    s = lut_b[qi, pi][np.arange(m)[None, :], cm].sum(axis=1) + const_b[qi, pi]
+                    idm = ids[mask]
+                    top = np.argsort(-s, kind="stable")[:kk]
+                    out_q.extend([qids_b[qi]] * len(top))
+                    out_id.extend(idm[top])
+                    out_s.extend(s[top])
+            yield pd.DataFrame({query_id_col: out_q, "neighbor_id": out_id, "_adc": out_s})
+
+    cand = index_df.mapInPandas(
+        kernel, schema=f"{query_id_col} {id_type}, neighbor_id {id_type}, _adc double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("_adc").desc(), "neighbor_id")
+    shortlist = cand.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") <= kk)
+    if rerank is None:
+        return shortlist.select(
+            query_id_col, "neighbor_id", F.col("_rk").alias("rk"),
+            F.round("_adc", 6).alias("cos_sim"),
+        ).where(F.col("rk") <= k)
+    cv = _as_double(vec_col)
+    cvec = rerank.select(F.col(id_col).alias("neighbor_id"), cv.alias("_vc"), l2_norm(cv, dim).alias("_cn"))
+    qvec = rerank.sparkSession.createDataFrame(
+        [(q, [float(x) for x in v]) for q, v in zip(qids, Qraw)],
+        f"{query_id_col} {id_type}, _vq array<double>",
+    ).select(query_id_col, "_vq", l2_norm(F.col("_vq"), dim).alias("_qn"))
+    exact = (
+        shortlist.join(cvec, "neighbor_id")
+        .join(F.broadcast(qvec), query_id_col)
+        .select(
+            query_id_col, "neighbor_id",
+            _cos(F.col("_vq"), F.col("_vc"), F.col("_qn"), F.col("_cn"), dim).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        exact.withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") <= k)
+        .select(query_id_col, "neighbor_id", "rk", F.round("cos_sim", 6).alias("cos_sim"))
+    )

@@ -180,3 +180,47 @@ def test_pq_topk_recall_and_rerank(spark):
     # reranked scores are the EXACT cosine: where ids agree, values agree
     merged = rr.merge(exact, on=["query_id", "neighbor_id"], suffixes=("_pq", "_ex"))
     assert np.allclose(merged["cos_sim_pq"], merged["cos_sim_ex"], atol=1e-9)
+
+
+def test_ivf_pq_topk_recall_and_cell_pruning(spark):
+    """IVFADC (IVF + residual-PQ): deterministic training, one
+    zero-shuffle encode kernel emitting (cell, codes), probe-limited ADC
+    search whose exact-rerank form recovers the brute-force top-k."""
+    from pyppi_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_pq_encode,
+        ivf_pq_topk,
+        train_ivf_pq,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+
+    cent, books = train_ivf_pq(emb, n_centroids=16, m=16, n_codes=32, sample_rows=2000, seed=42)
+    cent2, books2 = train_ivf_pq(emb, n_centroids=16, m=16, n_codes=32, sample_rows=2000, seed=42)
+    assert (cent == cent2).all() and (books == books2).all()
+
+    index = ivf_pq_encode(emb, cent, books)
+    plan = index._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    index.persist()
+    cells = index.select("cell").distinct().count()
+    assert cells > 4  # the quantizer actually partitions the corpus
+
+    exact = brute_force_topk(queries, emb, k=10).toPandas()
+    e = exact.groupby("query_id")["neighbor_id"].apply(set)
+
+    adc = ivf_pq_topk(queries, index, cent, books, k=10, n_probe=8).toPandas()
+    a = adc.groupby("query_id")["neighbor_id"].apply(set)
+    recall = np.mean([len(e[q] & a.get(q, set())) / 10 for q in e.index])
+    assert recall >= 0.4, f"IVFADC recall@10 too low: {recall}"
+
+    rr = ivf_pq_topk(
+        queries, index, cent, books, k=10, n_probe=8, rerank=emb, rerank_factor=4
+    ).toPandas()
+    r = rr.groupby("query_id")["neighbor_id"].apply(set)
+    recall_rr = np.mean([len(e[q] & r.get(q, set())) / 10 for q in e.index])
+    assert recall_rr >= recall and recall_rr >= 0.7, f"rerank recall: {recall_rr}"
+    merged = rr.merge(exact, on=["query_id", "neighbor_id"], suffixes=("_pq", "_ex"))
+    assert np.allclose(merged["cos_sim_pq"], merged["cos_sim_ex"], atol=1e-9)
+    index.unpersist()
