@@ -1171,6 +1171,24 @@ def q_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing over the documents table: whitespace
+    token counts → hash-sharded groups (8) → per-group prefix sum →
+    each doc's span exploded across its overlapped 128-token sequences.
+    Oracle = identical md5-hash grouping + window sum + generate_series
+    in DuckDB; placement is a pure function of (seed, ids, counts), so
+    values must match bitwise."""
+    from pyppi_spark.functions.text import token_count
+    from pyppi_spark.operators.packing import pack_sequences
+
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", F.coalesce(token_count("text"), F.lit(0)).alias("n_tokens")
+    )
+    return pack_sequences(
+        docs, seq_len=128, n_groups=8, seed=42, hash_mode="portable"
+    )
+
+
 def q_moss_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MOSS near-dedup composition END-TO-END under the driver gate
     (plans.training_set.moss_dedup_documents): exact normalized-content
@@ -1285,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "embed_dedup": q_embed_dedup,
         "jsonl_scan": q_jsonl_scan,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -2104,6 +2123,33 @@ WITH RECURSIVE e AS (
 ), C AS (SELECT n, min(l) AS rep FROM R GROUP BY n)
 SELECT vec_id FROM e
 WHERE vec_id NOT IN (SELECT n FROM C WHERE n <> rep)
+""",
+        "pack_sequences": rf"""
+WITH T AS (
+  SELECT doc_id,
+         coalesce(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\s+')) END, 0)::BIGINT AS nt,
+         ('0x' || substr(md5('42|' || doc_id::VARCHAR), 1, 8))::BIGINT AS h
+  FROM documents
+), G AS (
+  SELECT doc_id, nt, h, (h % 8)::INT AS group_id FROM T WHERE nt > 0
+), S AS (
+  SELECT doc_id, group_id, nt,
+         sum(nt) OVER w - nt AS start,
+         sum(nt) OVER w AS fin
+  FROM G
+  WINDOW w AS (PARTITION BY group_id ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), X AS (
+  SELECT doc_id, group_id, nt, start,
+         unnest(generate_series((start // 128)::BIGINT, ((fin - 1) // 128)::BIGINT)) AS seq_id
+  FROM S
+)
+SELECT group_id, seq_id::BIGINT AS seq_id, doc_id,
+       (greatest(start, seq_id * 128) - start)::BIGINT AS slice_start,
+       (least(start + nt, (seq_id + 1) * 128) - start)::BIGINT AS slice_end,
+       (greatest(start, seq_id * 128) - seq_id * 128)::BIGINT AS seq_offset
+FROM X
 """,
         "moss_dedup": rf"""
 WITH RECURSIVE X AS (
