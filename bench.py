@@ -75,6 +75,7 @@ HEADLINE = [
     "moss_dedup",
     "token_stats",
     "embed_dedup",
+    "pack_sequences",
 ]
 
 

@@ -936,6 +936,12 @@ def ivf_pq_topk(
     resid = Q[:, None, :] - C[probes]                                    # Q x P x dim
     lut = np.einsum("qpjs,jcs->qpjc", resid.reshape(len(Q), n_probe, m, sub), B)
     const = np.einsum("qd,qpd->qp", Q, C[probes])                        # q . centroid
+    # prune the index scan to the UNION of probed cells BEFORE the kernel:
+    # over a cell-partitioned index (write_ivf_pq_index) this predicate
+    # becomes storage-level partition pruning — unprobed cells cost zero
+    # I/O, not just zero kernel work
+    probed_cells = sorted({int(c) for c in probes.ravel()})
+    index_df = index_df.where(F.col("cell").isin(probed_cells))
     bc = index_df.sparkSession.sparkContext.broadcast((qids, probes, lut, const))
     kk = max(k, rerank_factor * k if rerank is not None else k)
     id_type = index_df.schema[id_col].dataType.simpleString()
@@ -993,3 +999,22 @@ def ivf_pq_topk(
         .where(F.col("rk") <= k)
         .select(query_id_col, "neighbor_id", "rk", F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+def write_ivf_pq_index(index_df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Materialize the IVFADC index cell-partitioned
+    (``partitionBy("cell")`` parquet): each coarse cell is its own
+    directory, so ``ivf_pq_topk``'s probed-cell predicate prunes at the
+    STORAGE layer — a query batch probing p of n_centroids cells reads
+    ~p/n_centroids of the index bytes (plan shows ``PartitionFilters``,
+    tested). At a billion vectors the index is the only thing read per
+    query batch; this is what makes it ~p/n× cheaper again."""
+    index_df.write.partitionBy("cell").mode(mode).parquet(path)
+
+
+def read_ivf_pq_index(spark, path: str) -> DataFrame:
+    """Read a ``write_ivf_pq_index`` layout back. The ``cell`` partition
+    column comes back as int; pass the result straight to
+    ``ivf_pq_topk``."""
+    df = spark.read.parquet(path)
+    return df.withColumn("cell", F.col("cell").cast("int"))

@@ -224,3 +224,36 @@ def test_ivf_pq_topk_recall_and_cell_pruning(spark):
     merged = rr.merge(exact, on=["query_id", "neighbor_id"], suffixes=("_pq", "_ex"))
     assert np.allclose(merged["cos_sim_pq"], merged["cos_sim_ex"], atol=1e-9)
     index.unpersist()
+
+
+def test_ivf_pq_index_partition_pruning(spark, tmp_path):
+    """The cell-partitioned index layout turns probe selection into
+    storage-level partition pruning: the search plan's scan carries a
+    PartitionFilters predicate on cell, and results equal the in-memory
+    index search exactly."""
+    from pyppi_spark.operators.similarity import (
+        ivf_pq_encode,
+        ivf_pq_topk,
+        read_ivf_pq_index,
+        train_ivf_pq,
+        write_ivf_pq_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3)
+    cent, books = train_ivf_pq(emb, n_centroids=16, m=16, n_codes=32, sample_rows=2000, seed=42)
+    index = ivf_pq_encode(emb, cent, books)
+    path = str(tmp_path / "ivfpq_index")
+    write_ivf_pq_index(index, path)
+
+    stored = read_ivf_pq_index(spark, path)
+    out = ivf_pq_topk(queries, stored, cent, books, k=5, n_probe=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+    mem = ivf_pq_topk(queries, index, cent, books, k=5, n_probe=4).toPandas()
+    got = out.toPandas()
+    key = ["query_id", "rk"]
+    assert got.sort_values(key).reset_index(drop=True).equals(
+        mem.sort_values(key).reset_index(drop=True)
+    )
