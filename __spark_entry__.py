@@ -1171,6 +1171,35 @@ def q_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the daily-increment shape (dedup the new shard
+    against the frozen corpus WITHOUT re-pairing the old corpus): docs
+    < 250 are the frozen history, >= 250 the increment. Exact stage:
+    within-increment dedup + content-key anti-join vs history. Near
+    stage: MinHash bands joined new-vs-(old ∪ new) only; increment docs
+    near any old doc drop outright, new-only pairs get transitive
+    representatives. Oracle = brute-force all-pairs Jaccard ground truth
+    (LSH miss probability ~6e-15 at 32x2 bands) + recursive components,
+    mirroring the staged semantics exactly."""
+    from pyppi_spark.operators.dedup import (
+        content_keys,
+        exact_dedup_incremental,
+        near_dedup_incremental,
+    )
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text").where(
+        F.col("text").isNotNull()
+    )
+    old = docs.where(F.col("doc_id") < 250)
+    new = docs.where(F.col("doc_id") >= 250)
+    step1 = exact_dedup_incremental(new, content_keys(old))
+    out = near_dedup_incremental(
+        step1, old, bands=32, rows_per_band=2, threshold=0.8,
+        hash_mode="portable",
+    )
+    return out.select("doc_id")
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing over the documents table: whitespace
     token counts → hash-sharded groups (8) → per-group prefix sum →
@@ -1304,6 +1333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_dedup": q_embed_dedup,
         "jsonl_scan": q_jsonl_scan,
         "pack_sequences": q_pack_sequences,
+        "incremental_dedup": q_incremental_dedup,
     }
 
 
@@ -2123,6 +2153,52 @@ WITH RECURSIVE e AS (
 ), C AS (SELECT n, min(l) AS rep FROM R GROUP BY n)
 SELECT vec_id FROM e
 WHERE vec_id NOT IN (SELECT n FROM C WHERE n <> rep)
+""",
+        "incremental_dedup": rf"""
+WITH RECURSIVE OLDD AS (
+  SELECT doc_id, text, {_NORM} AS norm FROM documents
+  WHERE doc_id < 250 AND text IS NOT NULL
+), NEWD AS (
+  SELECT doc_id, text, {_NORM} AS norm FROM documents
+  WHERE doc_id >= 250 AND text IS NOT NULL
+), X AS (
+  SELECT doc_id, text, norm FROM (
+    SELECT *, row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+    FROM NEWD) WHERE rn = 1
+), X2 AS (
+  SELECT doc_id, text, norm FROM X x
+  WHERE NOT EXISTS (SELECT 1 FROM OLDD o WHERE o.norm = x.norm)
+), SH AS (
+  SELECT doc_id, is_new,
+    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         ELSE list_distinct(list_transform(generate_series(1, len(ws)-2),
+                            i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))
+    END AS sh
+  FROM (
+    SELECT doc_id, string_split(norm, ' ') AS ws, TRUE AS is_new FROM X2
+    UNION ALL
+    SELECT doc_id, string_split(norm, ' ') AS ws, FALSE FROM OLDD
+  )
+), PO AS (
+  SELECT x.doc_id AS a
+  FROM SH x JOIN SH y ON x.is_new AND NOT y.is_new
+  WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
+        / len(list_distinct(x.sh || y.sh))::DOUBLE >= 0.8
+), PN AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM SH x JOIN SH y ON x.is_new AND y.is_new AND x.doc_id < y.doc_id
+  WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
+        / len(list_distinct(x.sh || y.sh))::DOUBLE >= 0.8
+), NN AS (SELECT a AS n FROM PN UNION SELECT b FROM PN
+), E AS (SELECT a AS s, b AS d FROM PN UNION SELECT b, a FROM PN
+), R(n, l) AS (
+  SELECT n, n FROM NN
+  UNION
+  SELECT e.d, r.l FROM R r JOIN E e ON r.n = e.s
+), C AS (SELECT n, min(l) AS rep FROM R GROUP BY n)
+SELECT doc_id FROM X2
+WHERE doc_id NOT IN (SELECT DISTINCT a FROM PO)
+  AND doc_id NOT IN (SELECT n FROM C WHERE n <> rep)
 """,
         "pack_sequences": rf"""
 WITH T AS (

@@ -1078,3 +1078,166 @@ def winnow_candidate_pairs(
             .select("a", "b", "n_shared")
         )
     return pairs
+
+
+# ---------------------------------------------------------- incremental
+
+def content_keys(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The compact content-key table an incremental pipeline carries
+    between runs: DISTINCT (xxhash64(normalized text), length) — the same
+    composite key ``exact_dedup`` groups on (hash alone risks birthday
+    collisions at billions of docs). ~16 bytes/doc at rest; union each
+    increment's keys back in for the next run."""
+    norm = _normalize(F.col(text_col))
+    return df.select(
+        F.xxhash64(norm).alias("_k"), F.length(norm).alias("_kl")
+    ).distinct()
+
+
+def exact_dedup_incremental(
+    new_docs: DataFrame,
+    seen_keys: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: str = "min",
+) -> DataFrame:
+    """Exact dedup of an increment against a frozen corpus: collapse
+    duplicates WITHIN the increment (``exact_dedup``), then anti-join its
+    keys against ``seen_keys`` (``content_keys`` of everything kept so
+    far). The anti-join is a pure equi-join on the 16-byte composite key
+    — the increment shuffles once, the history table never rewrites, and
+    nothing ever re-reads the old corpus text. Returns the surviving new
+    documents (all columns)."""
+    uniq = exact_dedup(new_docs, text_col=text_col, id_col=id_col, keep=keep)
+    norm = _normalize(F.col(text_col))
+    keyed = uniq.withColumn("_k", F.xxhash64(norm)).withColumn("_kl", F.length(norm))
+    return keyed.join(seen_keys, ["_k", "_kl"], "left_anti").drop("_k", "_kl")
+
+
+def near_dedup_incremental(
+    new_docs: DataFrame,
+    old_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    bands: int = 32,
+    rows_per_band: int = 2,
+    threshold: float = 0.8,
+    seed: int = 42,
+    hash_mode: str = "fast",
+    max_bucket_size: int | None = None,
+    hot_bucket: str = "error",
+    observation=None,
+) -> DataFrame:
+    """MinHash near-dedup of an increment against a frozen corpus:
+    candidates are (new × old) ∪ (new × new) band collisions — old × old
+    pairs are never generated (the frozen corpus was already deduped;
+    re-pairing it is the quadratic cost this function exists to avoid).
+    Survivors are new docs that are neither near-dups of the old corpus
+    nor non-representative within their new-only component.
+
+    Physical shape: band the two sides separately, join new-banded
+    against (old ∪ new)-banded on (band_idx, band_hash) — one equi-join
+    whose left side is increment-sized; Jaccard-verify candidate pairs
+    against the union's texts; drop new docs paired with ANY old doc;
+    transitive representatives over the remaining new-only pairs. At a
+    steady-state corpus the increment is ~1% of the total, so the
+    per-run cost is ~1% of a full re-dedup. Run
+    ``exact_dedup_incremental`` first (byte-dups of old docs never reach
+    the band join)."""
+    new_sigs = minhash_signatures(
+        new_docs, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+        shingle_n=shingle_n, seed=seed, hash_mode=hash_mode,
+    )
+    old_sigs = minhash_signatures(
+        old_docs, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+        shingle_n=shingle_n, seed=seed, hash_mode=hash_mode,
+    )
+
+    def banded(sigs):
+        return sigs.select(
+            F.col(id_col),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("minhash", i * rows_per_band + j + 1)
+                                    for j in range(rows_per_band)
+                                ],
+                            )
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("band_idx", "band_hash"),
+        )
+
+    nb = banded(new_sigs).withColumn("_new", F.lit(True))
+    ob = banded(old_sigs).withColumn("_new", F.lit(False))
+    allb = nb.unionByName(ob)
+    if max_bucket_size is not None:
+        bsz = F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_hash"))
+        allb = allb.withColumn("_bsz", bsz)
+        if hot_bucket == "error":
+            allb = allb.where(
+                F.when(
+                    F.col("_bsz") > max_bucket_size,
+                    F.raise_error(
+                        F.concat(
+                            F.lit("near_dedup_incremental: band bucket size "),
+                            F.col("_bsz").cast("string"),
+                            F.lit(
+                                f" exceeds max_bucket_size={max_bucket_size} — "
+                                "collapse exact duplicates upstream or pass "
+                                "hot_bucket='skip'"
+                            ),
+                        )
+                    ).isNull(),
+                ).otherwise(F.lit(True))
+            )
+        else:
+            if observation is not None:
+                allb = allb.observe(
+                    observation,
+                    F.sum((F.col("_bsz") > max_bucket_size).cast("long")).alias("rows_dropped"),
+                    F.count(F.lit(1)).alias("rows_total"),
+                )
+            allb = allb.where(F.col("_bsz") <= max_bucket_size)
+        allb = allb.drop("_bsz")
+    left = allb.where("_new").select(
+        F.col(id_col).alias("a"), "band_idx", "band_hash"
+    )
+    right = allb.select(
+        F.col(id_col).alias("b"), F.col("_new").alias("_new_b"), "band_idx", "band_hash"
+    )
+    cands = (
+        left.join(right, ["band_idx", "band_hash"], "inner")
+        .where(F.col("a") != F.col("b"))
+        .select("a", "b", "_new_b")
+        .distinct()
+    )
+    union_docs = new_docs.select(F.col(id_col), F.col(text_col)).unionByName(
+        old_docs.select(F.col(id_col), F.col(text_col))
+    )
+    verified = ngram_jaccard_pairs(
+        union_docs,
+        cands.select("a", "b"),
+        text_col=text_col,
+        id_col=id_col,
+        threshold=threshold,
+        shingle_n=shingle_n,
+    ).join(cands.select("a", "b", "_new_b"), ["a", "b"])
+    # any new doc similar to an OLD doc is dropped outright
+    dup_of_old = verified.where(~F.col("_new_b")).select(F.col("a").alias(id_col)).distinct()
+    fresh = new_docs.join(dup_of_old, id_col, "left_anti")
+    # new-only pairs: transitive representative selection as usual
+    new_pairs = (
+        verified.where(F.col("_new_b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    return near_dedup_representatives(fresh, new_pairs, id_col=id_col)

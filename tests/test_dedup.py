@@ -597,3 +597,42 @@ def test_observation_metrics_elided_corner(spark):
     assert out2.count() == 1  # the (100, 101) pair survives
     m = observation_metrics(obs2)
     assert m is not None and m["rows_dropped"] == 20 * 56 and m["rows_total"] == 22 * 56
+
+
+def test_incremental_dedup_against_frozen_corpus(spark):
+    """Incremental shape: exact-dup-of-old dropped by the key anti-join,
+    near-dup-of-old dropped by the band join, new-new near-dups keep the
+    min id, a doc chained to old content THROUGH a new near-dup drops
+    transitively, unrelated new docs survive."""
+    from pyppi_spark.operators.dedup import (
+        content_keys,
+        exact_dedup_incremental,
+        near_dedup_incremental,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    old = spark.createDataFrame(
+        [(0, base), (1, "an established corpus document about parquet readers")],
+        "doc_id long, text string",
+    )
+    new_rows = [
+        (100, base.upper()),                                  # exact dup of old (normalized)
+        (101, base.replace("dog", "cat")),                    # near dup of old 0
+        (102, base.replace("dog", "cat").replace("today", "tonight")),  # near dup of 101 (chain to old)
+        (103, "a completely novel document describing watermark semantics in streams"),
+        (104, "a completely novel document describing watermark semantics in rivers"),  # near dup of 103
+        (105, "entirely unrelated text on garbage collector tuning for large heaps"),
+    ]
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    step1 = exact_dedup_incremental(new, content_keys(old))
+    ids1 = sorted(r.doc_id for r in step1.select("doc_id").collect())
+    assert ids1 == [101, 102, 103, 104, 105]  # 100 dropped by the key anti-join
+
+    out = near_dedup_incremental(
+        step1, old, bands=32, rows_per_band=2, threshold=0.5, hash_mode="fast"
+    )
+    ids = sorted(r.doc_id for r in out.select("doc_id").collect())
+    # 101 ~ old -> dropped; 102 ~ 101 (new-new pair) -> component min 101
+    # is itself gone, so 102 drops transitively; 103/104 keep min 103
+    assert ids == [103, 105]
