@@ -76,6 +76,7 @@ HEADLINE = [
     "token_stats",
     "embed_dedup",
     "pack_sequences",
+    "incremental_dedup",
 ]
 
 
