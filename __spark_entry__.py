@@ -1171,6 +1171,38 @@ def q_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus health report — doc/NULL counts, whitespace +
+    BPE-ish token budgets, PII-flagged docs, and the quality mass as an
+    EXACT integer micro-unit sum (double sums across engines differ in
+    low bits; int64 sums are associativity-free — the running_state
+    lesson). One hash aggregation, map-side partials."""
+    from pyppi_spark.functions import lang_id, quality_score, token_count
+    from pyppi_spark.functions.text import bpe_token_count, pii_stats
+
+    docs = _documents(spark, sf_dir)
+    has_pii = pii_stats(F.col("text"))["has_pii"]
+    return (
+        docs.select(
+            lang_id("text").alias("lang_pred"),
+            F.col("text").isNull().cast("long").alias("_null"),
+            F.coalesce(token_count("text"), F.lit(0)).alias("_ws"),
+            bpe_token_count("text").alias("_bpe"),
+            has_pii.cast("long").alias("_pii"),
+            F.round(quality_score("text") * 1e6).cast("long").alias("_qm"),
+        )
+        .groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_null").alias("n_null_text"),
+            F.sum("_ws").alias("sum_ws_tokens"),
+            F.sum("_bpe").alias("sum_bpe_tokens"),
+            F.sum("_pii").alias("n_pii_docs"),
+            F.sum("_qm").alias("quality_sum_micro"),
+        )
+    )
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup — the daily-increment shape (dedup the new shard
     against the frozen corpus WITHOUT re-pairing the old corpus): docs
@@ -1334,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_scan": q_jsonl_scan,
         "pack_sequences": q_pack_sequences,
         "incremental_dedup": q_incremental_dedup,
+        "corpus_report": q_corpus_report,
     }
 
 
@@ -2153,6 +2186,30 @@ WITH RECURSIVE e AS (
 ), C AS (SELECT n, min(l) AS rep FROM R GROUP BY n)
 SELECT vec_id FROM e
 WHERE vec_id NOT IN (SELECT n FROM C WHERE n <> rep)
+""",
+        "corpus_report": rf"""
+WITH S AS (
+  SELECT {lang_case} AS lang_pred,
+    (text IS NULL)::BIGINT AS _null,
+    coalesce(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END, 0)::BIGINT AS _ws,
+    coalesce(len(regexp_extract_all(text, '{_BPE_PAT}')), 0)::BIGINT AS _bpe,
+    (coalesce(len(regexp_extract_all(text, '{PII_SQL["email"]}')), 0) > 0
+     OR coalesce(len(regexp_extract_all(text, '{PII_SQL["phone"]}')), 0) > 0
+     OR coalesce(len(regexp_extract_all(text, '{PII_SQL["ipv4"]}')), 0) > 0)::BIGINT AS _pii,
+    round(round(0.4 * least(length(text) / 200.0, 1.0)
+        + 0.4 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / greatest(length(text), 1))
+        + 0.2 * (1.0 - least((length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / greatest(length(text), 1)) * 4.0, 1.0)), 6) * 1e6)::BIGINT AS _qm
+  FROM (SELECT doc_id, text, {score_cols} FROM documents)
+)
+SELECT lang_pred,
+       count(*)::BIGINT AS n_docs,
+       sum(_null)::BIGINT AS n_null_text,
+       sum(_ws)::BIGINT AS sum_ws_tokens,
+       sum(_bpe)::BIGINT AS sum_bpe_tokens,
+       sum(_pii)::BIGINT AS n_pii_docs,
+       sum(_qm)::BIGINT AS quality_sum_micro
+FROM S GROUP BY lang_pred
 """,
         "incremental_dedup": rf"""
 WITH RECURSIVE OLDD AS (

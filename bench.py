@@ -77,6 +77,7 @@ HEADLINE = [
     "embed_dedup",
     "pack_sequences",
     "incremental_dedup",
+    "corpus_report",
 ]
 
 
