@@ -71,6 +71,12 @@ def main(argv: list[str] | None = None) -> dict:
         if args.strategy == "exact-only" or not args.old_documents:
             kept = step1
         else:
+            # stage boundary: materialize the exact stage (the reference's
+            # stage-output pattern) — the near stage references the
+            # increment several times, and a storage checkpoint is the
+            # fault-tolerant form of the operator's lineage truncation
+            step1.write.mode("overwrite").parquet(f"{args.output}/exact_stage")
+            step1 = spark.read.parquet(f"{args.output}/exact_stage")
             old_docs = spark.read.parquet(args.old_documents)
             kept = near_dedup_incremental(
                 step1, old_docs, threshold=args.jaccard_threshold,

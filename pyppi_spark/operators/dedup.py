@@ -1214,11 +1214,22 @@ def near_dedup_incremental(
     right = allb.select(
         F.col(id_col).alias("b"), F.col("_new").alias("_new_b"), "band_idx", "band_hash"
     )
+    # lazy lineage truncation: the candidate and verified PAIR sets are
+    # tiny but referenced several times below; without it every reference
+    # re-embeds the full banding/verify subtree and the composed plan
+    # grows combinatorially (measured 155 exchanges in the plan vs ~30
+    # truncated; execution mostly collapses via ReusedExchange, but
+    # planning cost and reuse misses do not). localCheckpoint(eager=False)
+    # materializes once at the first action — same mechanism the
+    # components loop uses. (At multi-node scale localCheckpoint blocks
+    # are not fault-tolerant; a production run materializes the exact
+    # stage to storage instead — jobs/dedup_corpus.py does.)
     cands = (
         left.join(right, ["band_idx", "band_hash"], "inner")
         .where(F.col("a") != F.col("b"))
         .select("a", "b", "_new_b")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     union_docs = new_docs.select(F.col(id_col), F.col(text_col)).unionByName(
         old_docs.select(F.col(id_col), F.col(text_col))
@@ -1230,7 +1241,7 @@ def near_dedup_incremental(
         id_col=id_col,
         threshold=threshold,
         shingle_n=shingle_n,
-    ).join(cands.select("a", "b", "_new_b"), ["a", "b"])
+    ).join(cands.select("a", "b", "_new_b"), ["a", "b"]).localCheckpoint(eager=False)
     # any new doc similar to an OLD doc is dropped outright
     dup_of_old = verified.where(~F.col("_new_b")).select(F.col("a").alias(id_col)).distinct()
     fresh = new_docs.join(dup_of_old, id_col, "left_anti")
