@@ -190,6 +190,23 @@ def main() -> None:
             )
         )
 
+        from pyppi_spark.operators.dedup import (
+            content_keys,
+            exact_dedup_incremental,
+            near_dedup_incremental,
+        )
+
+        def incremental_fast():
+            old = docs.where("doc_id % 2 = 0")  # half as frozen history
+            new = docs.where("doc_id % 2 = 1")
+            step1 = exact_dedup_incremental(new, content_keys(old))
+            force(near_dedup_incremental(
+                step1, old, bands=32, rows_per_band=2, threshold=0.8,
+                hash_mode="fast",
+            ))
+
+        yield "incremental_dedup_fast", incremental_fast
+
         # the full production near-dedup pipeline (fast-hash signatures →
         # LSH banding → exact Jaccard verify → transitive survivors): what
         # a 100 TB dedup run actually executes (the driver query's
