@@ -76,11 +76,14 @@ def _stream_pipe(
     )
     q: queue_mod.Queue = queue_mod.Queue(maxsize=queue_batches)
     err: list[BaseException] = []
+    reader_gone = threading.Event()  # set when the consumer abandons us
 
     def feed() -> None:
         stdin_dead = False
         try:
             for b in batches:
+                if reader_gone.is_set():
+                    return  # consumer died: stop consuming, don't block on q
                 lines = []
                 for v in b[text_col]:
                     v = "" if v is None else str(v)
@@ -100,7 +103,14 @@ def _stream_pipe(
                 # the reader sees every input batch and raises the
                 # short-output contract error instead of silently
                 # truncating the partition.
-                q.put((b, lines))
+                while True:  # bounded put that notices a dead consumer
+                    if reader_gone.is_set():
+                        return
+                    try:
+                        q.put((b, lines), timeout=1.0)
+                        break
+                    except queue_mod.Full:
+                        continue
                 if not stdin_dead and lines:
                     try:
                         proc.stdin.write("\n".join(lines) + "\n")
@@ -116,7 +126,12 @@ def _stream_pipe(
             err.append(e)
             proc.kill()  # unblock the reader's stdout.readline()
         finally:
-            q.put(_DONE)
+            while not reader_gone.is_set():
+                try:
+                    q.put(_DONE, timeout=1.0)
+                    break
+                except queue_mod.Full:
+                    continue
 
     writer = threading.Thread(target=feed, daemon=True)
     writer.start()
@@ -171,6 +186,7 @@ def _stream_pipe(
                 "is violated"
             )
     finally:
+        reader_gone.set()  # release a writer blocked on the full queue
         if proc.poll() is None:
             proc.kill()
             proc.wait()

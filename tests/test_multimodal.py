@@ -142,3 +142,32 @@ def test_stream_pipe_bounded_feed_ahead():
         iter([]), ["false"], "text", "piped",
         on_newline="error", batch_check=True, queue_batches=2,
     )) == []
+
+
+def test_stream_pipe_abandoned_consumer_releases_writer():
+    """If the consumer abandons the generator mid-partition (task killed,
+    downstream error), the writer thread must notice and exit rather than
+    block forever on the full hand-off queue — reused Python workers
+    would otherwise leak one blocked thread (plus its batch references)
+    per failed task."""
+    import threading
+    import time
+
+    import pandas as pd
+    from pyppi_spark.operators.external import _stream_pipe
+
+    def source(n=200):
+        for i in range(n):
+            yield pd.DataFrame({"text": [f"row {i} {j} aaaa" for j in range(50)]})
+
+    before = threading.active_count()
+    gen = _stream_pipe(
+        source(), ["sed", "-u", "s/a/A/g"], "text", "p",
+        on_newline="error", batch_check=True, queue_batches=2,
+    )
+    next(gen)
+    gen.close()  # GeneratorExit -> finally -> reader_gone.set()
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.1)
+    assert threading.active_count() <= before, "writer thread leaked"
