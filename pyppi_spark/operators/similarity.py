@@ -233,6 +233,46 @@ def _kmeans(sample: np.ndarray, n_centroids: int, iters: int, seed: int) -> np.n
     return cent
 
 
+def _bounded_sample(
+    candidates: DataFrame,
+    vec_col: str,
+    id_col: str,
+    sample_rows: int,
+    seed: int,
+) -> np.ndarray:
+    """The trainers' deterministic bounded sample (shared by
+    train_centroids / train_pq / train_ivf_pq so the selection convention
+    cannot drift): rows whose seeded id-hash falls in the smallest
+    buckets, pre-filtered to ~4x the target from a cheap count, ordered
+    by the hash and truncated — unbiased w.r.t. physical layout,
+    identical across parallelism levels, O(sample) driver memory."""
+    side = candidates.select(_as_double(vec_col).alias("v"), F.col(id_col).alias("_id"))
+    n = side.count()
+    h = F.pmod(F.xxhash64(F.col("_id"), F.lit(seed)), F.lit(1_000_000))
+    if n > 4 * sample_rows:
+        side = side.where(h < int(4 * sample_rows / n * 1_000_000) + 1)
+    return np.array(side.orderBy(h, "_id").limit(sample_rows).toPandas()["v"].tolist())
+
+
+def _subspace_kmeans(X: np.ndarray, n_codes: int, iters: int, rng) -> np.ndarray:
+    """Seeded Lloyd iterations with squared-L2 assignment (standard PQ —
+    subvectors are not unit, unlike the cosine coarse quantizer)."""
+    if len(X) < n_codes:
+        raise ValueError(
+            f"PQ training sample has {len(X)} rows < n_codes={n_codes}; "
+            "lower n_codes or raise sample_rows"
+        )
+    cent = X[rng.choice(len(X), n_codes, replace=False)]
+    for _ in range(iters):
+        d2 = (X * X).sum(1)[:, None] - 2.0 * (X @ cent.T) + (cent * cent).sum(1)[None, :]
+        assign = np.argmin(d2, axis=1)
+        for c in range(n_codes):
+            members = X[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
 def train_centroids_from_file(
     path: str,
     n_centroids: int = 16,
@@ -303,15 +343,12 @@ def train_centroids(
     levels; the hash pre-filter keeps the TakeOrdered network cost at
     O(sample) instead of O(partitions × sample).
     """
-    side = candidates.select(_as_double(vec_col).alias("v"), F.col(id_col).alias("_id"))
-    n = side.count()
-    h = F.pmod(F.xxhash64(F.col("_id"), F.lit(seed)), F.lit(1_000_000))
-    if n > 4 * sample_rows:
-        # keep ~4× the target then truncate deterministically by the hash
-        side = side.where(h < int(4 * sample_rows / n * 1_000_000) + 1)
-    sample = np.array(
-        side.orderBy(h, "_id").limit(sample_rows).toPandas()["v"].tolist()
-    )
+    sample = _bounded_sample(candidates, vec_col, id_col, sample_rows, seed)
+    if len(sample) < n_centroids:
+        raise ValueError(
+            f"training sample has {len(sample)} rows < n_centroids="
+            f"{n_centroids}; lower n_centroids or raise sample_rows"
+        )
     return _kmeans(sample, n_centroids, iters, seed)
 
 
@@ -629,12 +666,7 @@ def train_pq(
     ``train_centroids`` for why not MLlib). Vectors are L2-normalized
     BEFORE splitting so the asymmetric-distance dot approximates cosine.
     """
-    side = candidates.select(_as_double(vec_col).alias("v"), F.col(id_col).alias("_id"))
-    n = side.count()
-    h = F.pmod(F.xxhash64(F.col("_id"), F.lit(seed)), F.lit(1_000_000))
-    if n > 4 * sample_rows:
-        side = side.where(h < int(4 * sample_rows / n * 1_000_000) + 1)
-    sample = np.array(side.orderBy(h, "_id").limit(sample_rows).toPandas()["v"].tolist())
+    sample = _bounded_sample(candidates, vec_col, id_col, sample_rows, seed)
     dim = sample.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -643,17 +675,7 @@ def train_pq(
     rng = np.random.default_rng(seed)
     books = np.empty((m, n_codes, sub), dtype=np.float64)
     for j in range(m):
-        S = sample[:, j * sub:(j + 1) * sub]
-        cent = S[rng.choice(len(S), n_codes, replace=False)]
-        for _ in range(iters):
-            # squared-L2 assignment (standard PQ; subvectors are not unit)
-            d2 = (S * S).sum(1)[:, None] - 2.0 * (S @ cent.T) + (cent * cent).sum(1)[None, :]
-            assign = np.argmin(d2, axis=1)
-            for c in range(n_codes):
-                members = S[assign == c]
-                if len(members):
-                    cent[c] = members.mean(axis=0)
-        books[j] = cent
+        books[j] = _subspace_kmeans(sample[:, j * sub:(j + 1) * sub], n_codes, iters, rng)
     return books
 
 
@@ -693,6 +715,46 @@ def pq_encode(
 
     staged = df.select(F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v"))
     return staged.mapInPandas(kernel, schema=f"{id_col} {id_type}, codes array<int>")
+
+
+def _exact_rerank(
+    shortlist: DataFrame,
+    rerank: DataFrame,
+    qids: list,
+    Qraw: np.ndarray,
+    dim: int,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    id_type: str,
+) -> DataFrame:
+    """Shared second stage of the PQ searchers: re-score the ADC
+    shortlist with exact JVM-fold cosine against the original vectors and
+    take the exact top-k. One inner join against the vector table (only
+    shortlist rows are read back) + a broadcast of the tiny query set."""
+    cv = _as_double(vec_col)
+    cvec = rerank.select(
+        F.col(id_col).alias("neighbor_id"), cv.alias("_vc"), l2_norm(cv, dim).alias("_cn")
+    )
+    qvec = rerank.sparkSession.createDataFrame(
+        [(q, [float(x) for x in v]) for q, v in zip(qids, Qraw)],
+        f"{query_id_col} {id_type}, _vq array<double>",
+    ).select(query_id_col, "_vq", l2_norm(F.col("_vq"), dim).alias("_qn"))
+    exact = (
+        shortlist.join(cvec, "neighbor_id")
+        .join(F.broadcast(qvec), query_id_col)
+        .select(
+            query_id_col, "neighbor_id",
+            _cos(F.col("_vq"), F.col("_vc"), F.col("_qn"), F.col("_cn"), dim).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        exact.withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") <= k)
+        .select(query_id_col, "neighbor_id", "rk", F.round("cos_sim", 6).alias("cos_sim"))
+    )
 
 
 def pq_topk(
@@ -761,7 +823,9 @@ def pq_topk(
                 s = lut_b[qi][np.arange(m)[None, :], codes].sum(axis=1)  # N
                 mask = ids != qids_b[qi]
                 sm, idm = s[mask], ids[mask]
-                top = np.argsort(-sm, kind="stable")[:kk]
+                # (score desc, id asc) total order: batch cut independent
+                # of physical row order (determinism invariant)
+                top = np.lexsort((idm, -sm))[:kk]
                 out_q.extend([qids_b[qi]] * len(top))
                 out_id.extend(idm[top])
                 out_s.extend(sm[top])
@@ -778,25 +842,9 @@ def pq_topk(
             F.round("_adc", 6).alias("cos_sim"),
         ).where(F.col("rk") <= k)
     d = dim or codebooks.shape[0] * codebooks.shape[2]
-    cv = _as_double(vec_col)
-    cvec = rerank.select(F.col(id_col).alias("neighbor_id"), cv.alias("_vc"), l2_norm(cv, d).alias("_cn"))
-    qvec = rerank.sparkSession.createDataFrame(
-        [(q, [float(x) for x in v]) for q, v in zip(qids, np.array([r["_v"] for r in qrows], dtype=np.float64))],
-        f"{query_id_col} {id_type}, _vq array<double>",
-    ).select(query_id_col, "_vq", l2_norm(F.col("_vq"), d).alias("_qn"))
-    exact = (
-        shortlist.join(cvec, "neighbor_id")
-        .join(F.broadcast(qvec), query_id_col)
-        .select(
-            query_id_col, "neighbor_id",
-            _cos(F.col("_vq"), F.col("_vc"), F.col("_qn"), F.col("_cn"), d).alias("cos_sim"),
-        )
-    )
-    w2 = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), "neighbor_id")
-    return (
-        exact.withColumn("rk", F.row_number().over(w2))
-        .where(F.col("rk") <= k)
-        .select(query_id_col, "neighbor_id", "rk", F.round("cos_sim", 6).alias("cos_sim"))
+    Qraw = np.array([r["_v"] for r in qrows], dtype=np.float64)
+    return _exact_rerank(
+        shortlist, rerank, qids, Qraw, d, k, id_col, vec_col, query_id_col, id_type
     )
 
 
@@ -818,15 +866,15 @@ def train_ivf_pq(
     magnitudes, so the same code budget quantizes far finer. Returns
     (centroids (n_centroids, dim), codebooks (m, n_codes, dim/m)) — both
     pure functions of (data sample, seed)."""
-    side = candidates.select(_as_double(vec_col).alias("v"), F.col(id_col).alias("_id"))
-    n = side.count()
-    h = F.pmod(F.xxhash64(F.col("_id"), F.lit(seed)), F.lit(1_000_000))
-    if n > 4 * sample_rows:
-        side = side.where(h < int(4 * sample_rows / n * 1_000_000) + 1)
-    sample = np.array(side.orderBy(h, "_id").limit(sample_rows).toPandas()["v"].tolist())
+    sample = _bounded_sample(candidates, vec_col, id_col, sample_rows, seed)
     dim = sample.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
+    if len(sample) < max(n_centroids, n_codes):
+        raise ValueError(
+            f"training sample has {len(sample)} rows < "
+            f"max(n_centroids, n_codes)={max(n_centroids, n_codes)}"
+        )
     S = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
     cent = _kmeans(S.copy(), n_centroids, iters, seed)
     # residuals w.r.t. the EUCLIDEAN-nearest cell (the assignment pq
@@ -838,16 +886,7 @@ def train_ivf_pq(
     rng = np.random.default_rng(seed + 1)
     books = np.empty((m, n_codes, sub), dtype=np.float64)
     for j in range(m):
-        Rj = R[:, j * sub:(j + 1) * sub]
-        cj = Rj[rng.choice(len(Rj), n_codes, replace=False)]
-        for _ in range(iters):
-            dd = (Rj * Rj).sum(1)[:, None] - 2.0 * (Rj @ cj.T) + (cj * cj).sum(1)[None, :]
-            assign = np.argmin(dd, axis=1)
-            for c in range(n_codes):
-                members = Rj[assign == c]
-                if len(members):
-                    cj[c] = members.mean(axis=0)
-        books[j] = cj
+        books[j] = _subspace_kmeans(R[:, j * sub:(j + 1) * sub], n_codes, iters, rng)
     return cent, books
 
 
@@ -933,8 +972,13 @@ def ivf_pq_topk(
     Q = Qraw / np.maximum(np.linalg.norm(Qraw, axis=1, keepdims=True), 1e-12)
     d2 = (Q * Q).sum(1)[:, None] - 2.0 * (Q @ C.T) + (C * C).sum(1)[None, :]
     probes = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]          # Q x P
-    resid = Q[:, None, :] - C[probes]                                    # Q x P x dim
-    lut = np.einsum("qpjs,jcs->qpjc", resid.reshape(len(Q), n_probe, m, sub), B)
+    # inner-product ADC over residual codes: q·v = q·(c + r) = q·c + q·r,
+    # so the LUT uses the QUERY subvectors (one table per query, shared
+    # across its probed cells) and the q·c term is the per-cell constant.
+    # Building the LUT from (q − c) instead would score q·v − c·r — a
+    # per-candidate bias that mis-ranks (the L2-ADC residual form needs
+    # the ‖r‖² term too; for normalized vectors the IP form is exact).
+    lut = np.einsum("qjs,jcs->qjc", Q.reshape(len(Q), m, sub), B)        # Q x m x codes
     const = np.einsum("qd,qpd->qp", Q, C[probes])                        # q . centroid
     # prune the index scan to the UNION of probed cells BEFORE the kernel:
     # over a cell-partitioned index (write_ivf_pq_index) this predicate
@@ -961,9 +1005,14 @@ def ivf_pq_topk(
                     if not mask.any():
                         continue
                     cm = codes[mask]
-                    s = lut_b[qi, pi][np.arange(m)[None, :], cm].sum(axis=1) + const_b[qi, pi]
+                    s = lut_b[qi][np.arange(m)[None, :], cm].sum(axis=1) + const_b[qi, pi]
                     idm = ids[mask]
-                    top = np.argsort(-s, kind="stable")[:kk]
+                    # total order (score desc, id asc): the per-batch cut
+                    # is then independent of physical row order — ties at
+                    # the kk boundary resolve identically at any
+                    # partitioning (repo invariant: features identical
+                    # across parallelism levels)
+                    top = np.lexsort((idm, -s))[:kk]
                     out_q.extend([qids_b[qi]] * len(top))
                     out_id.extend(idm[top])
                     out_s.extend(s[top])
@@ -979,25 +1028,8 @@ def ivf_pq_topk(
             query_id_col, "neighbor_id", F.col("_rk").alias("rk"),
             F.round("_adc", 6).alias("cos_sim"),
         ).where(F.col("rk") <= k)
-    cv = _as_double(vec_col)
-    cvec = rerank.select(F.col(id_col).alias("neighbor_id"), cv.alias("_vc"), l2_norm(cv, dim).alias("_cn"))
-    qvec = rerank.sparkSession.createDataFrame(
-        [(q, [float(x) for x in v]) for q, v in zip(qids, Qraw)],
-        f"{query_id_col} {id_type}, _vq array<double>",
-    ).select(query_id_col, "_vq", l2_norm(F.col("_vq"), dim).alias("_qn"))
-    exact = (
-        shortlist.join(cvec, "neighbor_id")
-        .join(F.broadcast(qvec), query_id_col)
-        .select(
-            query_id_col, "neighbor_id",
-            _cos(F.col("_vq"), F.col("_vc"), F.col("_qn"), F.col("_cn"), dim).alias("cos_sim"),
-        )
-    )
-    w2 = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), "neighbor_id")
-    return (
-        exact.withColumn("rk", F.row_number().over(w2))
-        .where(F.col("rk") <= k)
-        .select(query_id_col, "neighbor_id", "rk", F.round("cos_sim", 6).alias("cos_sim"))
+    return _exact_rerank(
+        shortlist, rerank, qids, Qraw, dim, k, id_col, vec_col, query_id_col, id_type
     )
 
 

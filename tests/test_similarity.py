@@ -213,7 +213,7 @@ def test_ivf_pq_topk_recall_and_cell_pruning(spark):
     adc = ivf_pq_topk(queries, index, cent, books, k=10, n_probe=8).toPandas()
     a = adc.groupby("query_id")["neighbor_id"].apply(set)
     recall = np.mean([len(e[q] & a.get(q, set())) / 10 for q in e.index])
-    assert recall >= 0.4, f"IVFADC recall@10 too low: {recall}"
+    assert recall >= 0.5, f"IVFADC recall@10 too low: {recall}"  # measured 0.58 with the IP-correct LUT (the residual-LUT bug scored q*v - c*r and only reached ~0.4)
 
     rr = ivf_pq_topk(
         queries, index, cent, books, k=10, n_probe=8, rerank=emb, rerank_factor=4
