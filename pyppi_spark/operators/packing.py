@@ -84,8 +84,12 @@ def pack_sequences(
         F.sum("_nt").over(w).alias("_end"),
     )
     L = F.lit(seq_len).cast("long")
-    s0 = F.floor(F.col("_start") / L)
-    s1 = F.floor((F.col("_end") - 1) / L)
+    # integer `div`, not floor(double /): a group's running token sum can
+    # exceed 2^53 at the operator's target scale, where double division
+    # rounds and would emit spurious/missing trailing slices (the oracle
+    # uses exact integer `//`)
+    s0 = F.expr(f"_start div {seq_len}")
+    s1 = F.expr(f"(_end - 1) div {seq_len}")
     exploded = spans.select(
         id_col,
         "group_id",

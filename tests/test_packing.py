@@ -60,3 +60,19 @@ def test_pack_sequences_invariants(spark):
     # slice gives identical assignment (pure function)
     out3 = pack_sequences(docs, seq_len=L, n_groups=4, seed=7).toPandas()
     assert a.equals(out3.sort_values(key).reset_index(drop=True))
+
+
+def test_seq_index_arithmetic_exact_past_2p53(spark):
+    """The sequence-index computation uses integer `div`, not
+    floor(double /): past 2^53 double division rounds. This pins the
+    expression-level claim (a cumulative corpus token offset is a long;
+    documents themselves stay small, so only the offsets get huge)."""
+    # doubles at 2^53 are spaced by 2: 2^53+127 rounds UP to 2^53+128,
+    # crossing a 128-token sequence boundary the exact path does not
+    x = (1 << 53) + 127
+    row = spark.sql(
+        f"SELECT {x}L div 128 AS exact, floor({x}L / 128) AS via_double"
+    ).collect()[0]
+    assert row.exact == x // 128 == (1 << 46)
+    assert row.via_double == (1 << 46) + 1  # the rounded double's sequence
+    assert row.exact != row.via_double
