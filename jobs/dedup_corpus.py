@@ -63,12 +63,22 @@ def main(argv: list[str] | None = None) -> dict:
     obs = Observation("dedup_caps")
     metrics: dict = {"mode": args.mode, "strategy": args.strategy, "docs_in": n_in}
 
+    near_stage_ran = False
     if args.mode == "incremental":
         if not args.history_keys:
             ap.error("--history-keys required for incremental mode")
+        if args.strategy == "moss":
+            ap.error("incremental mode supports --strategy minhash or exact-only")
+        if args.strategy != "exact-only" and not args.old_documents:
+            # failing loudly beats silently skipping the near stage while
+            # the metrics still claim the requested strategy
+            ap.error(
+                "--old-documents required for the incremental near stage; "
+                "pass --strategy exact-only to run the key anti-join alone"
+            )
         seen = spark.read.parquet(args.history_keys)
         step1 = exact_dedup_incremental(docs, seen)
-        if args.strategy == "exact-only" or not args.old_documents:
+        if args.strategy == "exact-only":
             kept = step1
         else:
             # stage boundary: materialize the exact stage (the reference's
@@ -83,6 +93,7 @@ def main(argv: list[str] | None = None) -> dict:
                 max_bucket_size=args.max_bucket_size, hot_bucket="skip",
                 observation=obs,
             )
+            near_stage_ran = True
     else:
         uniq = exact_dedup(docs)
         if args.strategy == "exact-only":
@@ -94,6 +105,7 @@ def main(argv: list[str] | None = None) -> dict:
             kept = moss_dedup_documents(
                 docs, max_bucket_size=args.max_bucket_size, observation=obs
             )
+            near_stage_ran = True
         else:
             sigs = minhash_signatures(uniq)
             cands = minhash_lsh_candidates(
@@ -103,6 +115,7 @@ def main(argv: list[str] | None = None) -> dict:
             )
             dups = ngram_jaccard_pairs(uniq, cands, threshold=args.jaccard_threshold)
             kept = near_dedup_representatives(uniq, dups)
+            near_stage_ran = True
 
     kept.write.mode("overwrite").parquet(f"{args.output}/documents_kept")
     kept_mat = spark.read.parquet(f"{args.output}/documents_kept")
@@ -113,12 +126,14 @@ def main(argv: list[str] | None = None) -> dict:
         keys = keys.unionByName(spark.read.parquet(args.history_keys)).distinct()
     keys.write.mode("overwrite").parquet(f"{args.output}/content_keys")
 
-    cap_metrics = observation_metrics(obs) if args.strategy != "exact-only" else None
+    cap_metrics = observation_metrics(obs) if near_stage_ran else None
     metrics.update(
         {
             "docs_kept": n_kept,
             "docs_dropped": n_in - n_kept,
-            # None = metrics elided (empty capped output) or exact-only
+            "near_stage_ran": near_stage_ran,
+            # None = near stage skipped (exact-only) or metrics elided
+            # (entirely-empty capped output under AQE)
             "cap_accounting": cap_metrics,
         }
     )

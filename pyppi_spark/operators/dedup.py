@@ -169,6 +169,74 @@ def minhash_signatures(
     )
 
 
+def _band_rows(signatures: DataFrame, id_col: str, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band_idx, band_hash) rows: posexplode of the per-band
+    xxhash64 keys over a minhash signature — the banding step shared by
+    the self-join and incremental LSH paths (one definition, so the key
+    construction cannot drift between them)."""
+    return signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("minhash", i * rows_per_band + j + 1)
+                                for j in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
+def _cap_band_buckets(
+    banded: DataFrame,
+    max_bucket_size: int | None,
+    hot_bucket: str,
+    observation,
+    op_name: str,
+) -> DataFrame:
+    """Shared hot-bucket defense: census on the join keys (rides the
+    exchange the downstream join needs), 'error' fails with the size,
+    'skip' drops oversized buckets with optional Observation accounting."""
+    if max_bucket_size is None:
+        return banded
+    bsz = F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_hash"))
+    banded = banded.withColumn("_bsz", bsz)
+    if hot_bucket == "error":
+        banded = banded.where(
+            F.when(
+                F.col("_bsz") > max_bucket_size,
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"{op_name}: band bucket size "),
+                        F.col("_bsz").cast("string"),
+                        F.lit(
+                            f" exceeds max_bucket_size={max_bucket_size} — "
+                            "collapse exact duplicates upstream "
+                            "(exact_dedup) or pass hot_bucket='skip'"
+                        ),
+                    )
+                ).isNull(),
+            ).otherwise(F.lit(True))
+        )
+    else:
+        if observation is not None:
+            banded = banded.observe(
+                observation,
+                F.sum((F.col("_bsz") > max_bucket_size).cast("long")).alias("rows_dropped"),
+                F.count(F.lit(1)).alias("rows_total"),
+            )
+        banded = banded.where(F.col("_bsz") <= max_bucket_size)
+    return banded.drop("_bsz")
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -209,56 +277,10 @@ def minhash_lsh_candidates(
     """
     if hot_bucket not in ("error", "skip"):
         raise ValueError(f"unknown hot_bucket {hot_bucket!r}")
-    banded = signatures.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("minhash", i * rows_per_band + j + 1)
-                                for j in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
+    banded = _band_rows(signatures, id_col, bands, rows_per_band)
+    banded = _cap_band_buckets(
+        banded, max_bucket_size, hot_bucket, observation, "minhash_lsh_candidates"
     )
-    if max_bucket_size is not None:
-        bsz = F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_hash"))
-        banded = banded.withColumn("_bsz", bsz)
-        if hot_bucket == "error":
-            banded = banded.where(
-                F.when(
-                    F.col("_bsz") > max_bucket_size,
-                    F.raise_error(
-                        F.concat(
-                            F.lit(
-                                "minhash_lsh_candidates: band bucket size "
-                            ),
-                            F.col("_bsz").cast("string"),
-                            F.lit(
-                                f" exceeds max_bucket_size={max_bucket_size} — "
-                                "collapse exact duplicates upstream "
-                                "(exact_dedup) or pass hot_bucket='skip'"
-                            ),
-                        )
-                    ).isNull(),
-                ).otherwise(F.lit(True))
-            )
-        else:
-            if observation is not None:
-                banded = banded.observe(
-                    observation,
-                    F.sum((F.col("_bsz") > max_bucket_size).cast("long")).alias("rows_dropped"),
-                    F.count(F.lit(1)).alias("rows_total"),
-                )
-            banded = banded.where(F.col("_bsz") <= max_bucket_size)
-        banded = banded.drop("_bsz")
     a = banded.select(F.col(id_col).alias("a"), "band_idx", "band_hash")
     b = banded.select(F.col(id_col).alias("b"), "band_idx", "band_hash")
     return (
@@ -1155,59 +1177,12 @@ def near_dedup_incremental(
         shingle_n=shingle_n, seed=seed, hash_mode=hash_mode,
     )
 
-    def banded(sigs):
-        return sigs.select(
-            F.col(id_col),
-            F.posexplode(
-                F.array(
-                    *[
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("minhash", i * rows_per_band + j + 1)
-                                    for j in range(rows_per_band)
-                                ],
-                            )
-                        )
-                        for i in range(bands)
-                    ]
-                )
-            ).alias("band_idx", "band_hash"),
-        )
-
-    nb = banded(new_sigs).withColumn("_new", F.lit(True))
-    ob = banded(old_sigs).withColumn("_new", F.lit(False))
+    nb = _band_rows(new_sigs, id_col, bands, rows_per_band).withColumn("_new", F.lit(True))
+    ob = _band_rows(old_sigs, id_col, bands, rows_per_band).withColumn("_new", F.lit(False))
     allb = nb.unionByName(ob)
-    if max_bucket_size is not None:
-        bsz = F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_hash"))
-        allb = allb.withColumn("_bsz", bsz)
-        if hot_bucket == "error":
-            allb = allb.where(
-                F.when(
-                    F.col("_bsz") > max_bucket_size,
-                    F.raise_error(
-                        F.concat(
-                            F.lit("near_dedup_incremental: band bucket size "),
-                            F.col("_bsz").cast("string"),
-                            F.lit(
-                                f" exceeds max_bucket_size={max_bucket_size} — "
-                                "collapse exact duplicates upstream or pass "
-                                "hot_bucket='skip'"
-                            ),
-                        )
-                    ).isNull(),
-                ).otherwise(F.lit(True))
-            )
-        else:
-            if observation is not None:
-                allb = allb.observe(
-                    observation,
-                    F.sum((F.col("_bsz") > max_bucket_size).cast("long")).alias("rows_dropped"),
-                    F.count(F.lit(1)).alias("rows_total"),
-                )
-            allb = allb.where(F.col("_bsz") <= max_bucket_size)
-        allb = allb.drop("_bsz")
+    allb = _cap_band_buckets(
+        allb, max_bucket_size, hot_bucket, observation, "near_dedup_incremental"
+    )
     left = allb.where("_new").select(
         F.col(id_col).alias("a"), "band_idx", "band_hash"
     )
@@ -1224,9 +1199,14 @@ def near_dedup_incremental(
     # components loop uses. (At multi-node scale localCheckpoint blocks
     # are not fault-tolerant; a production run materializes the exact
     # stage to storage instead — jobs/dedup_corpus.py does.)
+    # canonicalize orientation BEFORE the expensive Jaccard verify: a
+    # new-new collision otherwise appears as both (x, y) and (y, x) and
+    # each directed pair would be verified independently (2x the gram
+    # join work); new-old pairs keep a = new
     cands = (
         left.join(right, ["band_idx", "band_hash"], "inner")
         .where(F.col("a") != F.col("b"))
+        .where(~F.col("_new_b") | (F.col("a") < F.col("b")))
         .select("a", "b", "_new_b")
         .distinct()
         .localCheckpoint(eager=False)
@@ -1246,9 +1226,5 @@ def near_dedup_incremental(
     dup_of_old = verified.where(~F.col("_new_b")).select(F.col("a").alias(id_col)).distinct()
     fresh = new_docs.join(dup_of_old, id_col, "left_anti")
     # new-only pairs: transitive representative selection as usual
-    new_pairs = (
-        verified.where(F.col("_new_b"))
-        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
-        .distinct()
-    )
+    new_pairs = verified.where(F.col("_new_b")).select("a", "b").distinct()
     return near_dedup_representatives(fresh, new_pairs, id_col=id_col)
