@@ -54,12 +54,23 @@ def _stream_pipe(
     on_newline: str,
     batch_check: bool,
     queue_batches: int,
+    stall_timeout_s: float = 300.0,
 ):
     """Generator: feed ``text_col`` of each pandas batch to ``command``'s
     stdin (writer thread, at most ``queue_batches`` batches ahead) and
     yield each batch with ``out_col`` attached as its stdout lines arrive.
     Peak memory ≈ (queue_batches + 1) batches, independent of partition
-    size."""
+    size.
+
+    Stall detection: if the reader consumes NOTHING for
+    ``stall_timeout_s`` while the writer is blocked on the full hand-off
+    queue, the three-way wait (reader ← child's unflushed output buffer ←
+    more stdin ← queue space) cannot resolve itself — a block-buffered
+    child whose output buffer exceeds the feed-ahead window (tiny rows ×
+    small ``queue_batches``) deadlocks exactly this way. The writer then
+    kills the child and raises a diagnostic naming the remedies (raise
+    ``queue_batches``, or an unbuffered child à la ``sed -u`` /
+    ``stdbuf -oL``) instead of hanging the Spark task forever."""
     import pandas as pd
 
     it = iter(batches)
@@ -103,6 +114,7 @@ def _stream_pipe(
                 # the reader sees every input batch and raises the
                 # short-output contract error instead of silently
                 # truncating the partition.
+                stalled = 0.0  # consecutive seconds blocked on a full queue
                 while True:  # bounded put that notices a dead consumer
                     if reader_gone.is_set():
                         return
@@ -110,6 +122,18 @@ def _stream_pipe(
                         q.put((b, lines), timeout=1.0)
                         break
                     except queue_mod.Full:
+                        stalled += 1.0
+                        if stalled >= stall_timeout_s:
+                            raise RuntimeError(
+                                f"pipe_transform: no output consumed for "
+                                f"{int(stalled)} s with the feed-ahead queue "
+                                f"full — {command[0]} is either deadlocked "
+                                "(its output buffer exceeds the feed-ahead "
+                                "window) or pathologically slow. Raise "
+                                "queue_batches, use an unbuffered child "
+                                "(sed -u / stdbuf -oL), or raise "
+                                "stall_timeout_s for genuinely slow filters"
+                            )
                         continue
                 if not stdin_dead and lines:
                     try:
@@ -200,6 +224,7 @@ def pipe_transform(
     on_newline: str = "error",
     batch_check: bool = True,
     queue_batches: int = 16,
+    stall_timeout_s: float = 300.0,
 ) -> DataFrame:
     """Run ``command`` once per partition; feed ``text_col`` values as
     stdin lines; attach the corresponding stdout lines as ``out_col``.
@@ -222,7 +247,7 @@ def pipe_transform(
     def run_partition(batches):
         yield from _stream_pipe(
             batches, command, text_col, out_col, on_newline, batch_check,
-            queue_batches,
+            queue_batches, stall_timeout_s,
         )
 
     return df.mapInPandas(run_partition, schema=out_schema)

@@ -171,3 +171,24 @@ def test_stream_pipe_abandoned_consumer_releases_writer():
     while threading.active_count() > before and time.time() < deadline:
         time.sleep(0.1)
     assert threading.active_count() <= before, "writer thread leaked"
+
+
+def test_stream_pipe_stall_detection():
+    """A block-buffered child whose output buffer exceeds the feed-ahead
+    window deadlocks the three-way wait; the stall detector converts the
+    hang into a diagnostic error naming the remedies."""
+    import pandas as pd
+    import pytest
+    from pyppi_spark.operators.external import _stream_pipe
+
+    def tiny_batches(n=5000):
+        for i in range(n):
+            yield pd.DataFrame({"text": [f"r{i}"]})  # ~3 bytes per batch
+
+    gen = _stream_pipe(
+        tiny_batches(), ["sed", "s/r/R/"], "text", "p",  # plain sed: 4KB+ buffer
+        on_newline="error", batch_check=True, queue_batches=1,
+        stall_timeout_s=4.0,
+    )
+    with pytest.raises(RuntimeError, match="queue_batches"):
+        list(gen)
