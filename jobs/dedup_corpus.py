@@ -35,7 +35,13 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--documents", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--mode", choices=["full", "incremental"], default="full")
-    ap.add_argument("--strategy", choices=["minhash", "moss", "exact-only"], default="minhash")
+    ap.add_argument(
+        "--strategy",
+        choices=["minhash", "moss", "simhash", "exact-only"],
+        default="minhash",
+    )
+    ap.add_argument("--max-hamming", type=int, default=3,
+                    help="simhash strategy: Hamming-ball radius")
     ap.add_argument("--history-keys", help="content_keys parquet of everything kept so far")
     ap.add_argument("--old-documents", help="kept documents of the frozen corpus (near stage)")
     ap.add_argument("--jaccard-threshold", type=float, default=0.8)
@@ -67,7 +73,7 @@ def main(argv: list[str] | None = None) -> dict:
     if args.mode == "incremental":
         if not args.history_keys:
             ap.error("--history-keys required for incremental mode")
-        if args.strategy == "moss":
+        if args.strategy in ("moss", "simhash"):
             ap.error("incremental mode supports --strategy minhash or exact-only")
         if args.strategy != "exact-only" and not args.old_documents:
             # failing loudly beats silently skipping the near stage while
@@ -105,6 +111,15 @@ def main(argv: list[str] | None = None) -> dict:
             kept = moss_dedup_documents(
                 docs, max_bucket_size=args.max_bucket_size, observation=obs
             )
+            near_stage_ran = True
+        elif args.strategy == "simhash":
+            from pyppi_spark.operators.dedup import simhash_near_dup_pairs
+
+            pairs = simhash_near_dup_pairs(
+                uniq, max_hamming=args.max_hamming, hash_mode="fast",
+                max_bucket_size=args.max_bucket_size, observation=obs,
+            ).select("a", "b")
+            kept = near_dedup_representatives(uniq, pairs)
             near_stage_ran = True
         else:
             sigs = minhash_signatures(uniq)

@@ -52,3 +52,24 @@ def test_dedup_corpus_job_full_then_incremental(spark, tmp_path):
     k0 = spark.read.parquet(f"{out0}/content_keys").count()
     k1 = spark.read.parquet(f"{out1}/content_keys").count()
     assert k1 >= k0 + m1["docs_kept"] - 1
+
+
+def test_dedup_corpus_job_simhash_strategy(spark, tmp_path):
+    """The SimHash family through the production entrypoint: exact dups
+    collapse, the Hamming-ball pairs feed representatives, metrics report
+    the near stage ran with cap accounting present."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    shard = str(tmp_path / "shard")
+    docs.where("doc_id < 40").write.parquet(shard)
+    out = str(tmp_path / "out")
+    m = _run([
+        "--documents", shard, "--output", out,
+        "--strategy", "simhash", "--max-hamming", "6",
+        "--master", "local[4]",
+    ])
+    assert m["strategy"] == "simhash" and m["near_stage_ran"] is True
+    assert 0 < m["docs_kept"] <= m["docs_in"] == 40
+    assert m["cap_accounting"] is not None
+    assert spark.read.parquet(f"{out}/documents_kept").count() == m["docs_kept"]
