@@ -821,9 +821,40 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC top-k (Jégou et al.): coarse cells + PQ over residuals,
+    asymmetric-distance shortlist, EXACT cosine re-rank. The whole index
+    (centroids + codebooks) is pinned as a pure function of the embeddings
+    parquet (train_ivf_pq_from_file), so the SQL oracle reproduces encode,
+    probing, ADC scoring, and the exact re-rank value-for-value. This is
+    the billion-vector serving shape: codes are ~50× smaller than vectors
+    and unprobed cells cost zero work (zero I/O over a cell-partitioned
+    index — see write_ivf_pq_index)."""
+    from pyppi_spark.operators.similarity import (
+        ivf_pq_encode, ivf_pq_topk, train_ivf_pq_from_file,
+    )
+
+    cents, books = train_ivf_pq_from_file(
+        f"{sf_dir}/embeddings.parquet", n_centroids=8, m=8, n_codes=16, seed=42
+    )
+    emb = _embeddings(spark, sf_dir)
+    index = ivf_pq_encode(emb, cents, books)
+    out = ivf_pq_topk(
+        emb.where(F.col("vec_id") < 5), index, cents, books,
+        k=10, n_probe=3, rerank=emb,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.col("rk").cast("long").alias("rk"), "cos_sim"
+    )
+
+
 def q_ngram_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates verified by exact n-gram Jaccard, survivors
-    after near-dedup (rows-only: xxhash64 signatures not in DuckDB)."""
+    after near-dedup. Value-oracled end-to-end: survivors are determined
+    by exact Jaccard over the candidate pairs, which the DuckDB oracle
+    reproduces with brute-force all-pairs Jaccard + recursive components
+    (the LSH candidate stage can only ADD pairs the verify stage rejects,
+    so survivors hash-match exactly)."""
     from pyppi_spark.operators import minhash_signatures, minhash_lsh_candidates, ngram_jaccard_pairs
     from pyppi_spark.operators.dedup import near_dedup_representatives
 
@@ -1342,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg": q_salted_agg,
         "align": q_align,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_pq": q_ann_ivf_pq,
         "ngram_near_dedup": q_ngram_near_dedup,
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
@@ -1593,6 +1625,129 @@ T AS (
   FROM P
 )
 SELECT query_id, neighbor_id, rk::BIGINT AS rk, cos_sim FROM T WHERE rk <= {k}
+"""
+
+
+def _ann_ivf_pq_sql(
+    sf_dir: str,
+    n_centroids: int = 8,
+    m: int = 8,
+    n_codes: int = 16,
+    n_probe: int = 3,
+    k: int = 10,
+    rerank_factor: int = 4,
+    seed: int = 42,
+) -> str:
+    """DuckDB mirror of q_ann_ivf_pq. The IVFADC index is a pure function
+    of the ``sf_dir`` embeddings parquet (train_ivf_pq_from_file); its
+    centroids AND codebooks are inlined as literals, and the SQL replays
+    the full pipeline: L2-normalize → cell assignment (argmin L2, ties →
+    lower cid, matching numpy argmin) → residual PQ codes per subspace →
+    probe the n_probe nearest cells per query (stable argsort ⇒ ORDER BY
+    d2, cid) → inner-product ADC (Σ_j q_subⱼ·codebook[j][codeⱼ] + q·cell
+    centroid) → shortlist top rerank_factor·k by (adc DESC, id) → EXACT
+    cosine re-rank from the RAW vectors, top k by (cos DESC, id). Discrete
+    decisions (cells, codes, probes, shortlist cut) are ULP-robust for
+    continuous random data; the emitted cos_sim is rounded at 6dp like
+    every cross-engine float here."""
+    import numpy as np
+    from pyppi_spark.operators.similarity import train_ivf_pq_from_file
+
+    cents, books = train_ivf_pq_from_file(
+        f"{sf_dir}/embeddings.parquet",
+        n_centroids=n_centroids, m=m, n_codes=n_codes, seed=seed,
+    )
+    dim = cents.shape[1]
+    sub = dim // m
+    kk = rerank_factor * k
+    cent_rows = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    book_rows = ", ".join(
+        f"({j}, {c}, [{', '.join(repr(float(x)) for x in books[j][c])}]::DOUBLE[])"
+        for j in range(m)
+        for c in range(n_codes)
+    )
+    return f"""
+WITH C(cid, cv) AS (VALUES {cent_rows}),
+B(j, c, bv) AS (VALUES {book_rows}),
+E AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+  FROM embeddings
+),
+U AS (
+  SELECT vec_id, v, n,
+         list_transform(v, x -> x / greatest(n, 1e-12)) AS u
+  FROM E
+),
+D AS (
+  SELECT u.vec_id, c.cid,
+         list_dot_product(u.u, u.u) - 2 * list_dot_product(u.u, c.cv)
+           + list_dot_product(c.cv, c.cv) AS d2,
+         list_dot_product(u.u, c.cv) AS qc
+  FROM U u CROSS JOIN C c
+),
+CELL AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM D) WHERE rn = 1
+),
+RES AS (
+  SELECT u.vec_id, cl.cell,
+         list_transform(generate_series(1, {dim}), i -> u.u[i] - c.cv[i]) AS r
+  FROM U u JOIN CELL cl USING (vec_id) JOIN C c ON c.cid = cl.cell
+),
+JS(j) AS (SELECT unnest(generate_series(0, {m - 1}))),
+RS AS (
+  SELECT vec_id, cell, j, r[j * {sub} + 1 : j * {sub} + {sub}] AS rsub
+  FROM RES CROSS JOIN JS
+),
+CODE AS (
+  SELECT vec_id, cell, j, c FROM (
+    SELECT rs.vec_id, rs.cell, rs.j, b.c,
+           row_number() OVER (PARTITION BY rs.vec_id, rs.j ORDER BY
+             list_dot_product(rs.rsub, rs.rsub) - 2 * list_dot_product(rs.rsub, b.bv)
+               + list_dot_product(b.bv, b.bv), b.c) AS rn
+    FROM RS rs JOIN B b ON b.j = rs.j) WHERE rn = 1
+),
+PROBE AS (
+  SELECT vec_id AS query_id, cid AS cell, qc AS cnst FROM (
+    SELECT vec_id, cid, qc,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM D WHERE vec_id < 5) WHERE rn <= {n_probe}
+),
+QS AS (
+  SELECT vec_id AS query_id, j, u[j * {sub} + 1 : j * {sub} + {sub}] AS qsub
+  FROM U CROSS JOIN JS WHERE vec_id < 5
+),
+ADC AS (
+  SELECT p.query_id, cd.vec_id AS neighbor_id,
+         sum(list_dot_product(qs.qsub, b.bv)) + p.cnst AS adc
+  FROM PROBE p
+  JOIN CODE cd ON cd.cell = p.cell AND cd.vec_id <> p.query_id
+  JOIN QS qs ON qs.query_id = p.query_id AND qs.j = cd.j
+  JOIN B b ON b.j = cd.j AND b.c = cd.c
+  GROUP BY p.query_id, cd.vec_id, p.cnst
+),
+SHORT AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, neighbor_id) AS rn
+    FROM ADC) WHERE rn <= {kk}
+),
+RER AS (
+  SELECT s.query_id, s.neighbor_id,
+         list_dot_product(q.v, e.v) / (q.n * e.n) AS cos_sim
+  FROM SHORT s
+  JOIN E q ON q.vec_id = s.query_id
+  JOIN E e ON e.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, rk::BIGINT AS rk, round(cos_sim, 6) AS cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM RER) WHERE rk <= {k}
 """
 
 
@@ -2060,6 +2215,10 @@ FROM d GROUP BY user_id
         "ann_ivf": _ann_ivf_sql(
             os.environ.get("SF_DIR", "/root/testdata/sf0.01"),
             n_centroids=8, n_probe=3, k=10, seed=42,
+        ),
+        "ann_ivf_pq": _ann_ivf_pq_sql(
+            os.environ.get("SF_DIR", "/root/testdata/sf0.01"),
+            n_centroids=8, m=8, n_codes=16, n_probe=3, k=10, seed=42,
         ),
         "stratified_sample": """
 SELECT event_type, event_id, user_id FROM (

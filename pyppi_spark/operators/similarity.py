@@ -273,19 +273,14 @@ def _subspace_kmeans(X: np.ndarray, n_codes: int, iters: int, rng) -> np.ndarray
     return cent
 
 
-def train_centroids_from_file(
-    path: str,
-    n_centroids: int = 16,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    sample_rows: int = 10_000,
-    iters: int = 5,
-    seed: int = 42,
+def _file_sample(
+    path: str, vec_col: str, id_col: str, sample_rows: int, seed: int
 ) -> np.ndarray:
-    """Train the IVF coarse quantizer as a PURE FUNCTION of a parquet file
-    (pyarrow + numpy, no Spark session) — used where the quantizer must be
-    reproducible outside the engine (e.g. to pin centroid literals into a
-    SQL oracle). Sampling: rows ordered by md5 of the id, first N.
+    """Deterministic bounded sample of a parquet file WITHOUT a Spark
+    session (pyarrow + numpy) — the selection convention for every
+    ``*_from_file`` trainer, used where a quantizer must be reproducible
+    outside the engine (e.g. to pin literals into a SQL oracle).
+    Sampling: rows ordered by md5 of the id, first N.
 
     The selection is a BOUNDED single pass: record batches stream through a
     size-``sample_rows`` max-heap keyed on (md5(seed|id), file_row_index) —
@@ -318,7 +313,21 @@ def train_centroids_from_file(
                 heapq.heapreplace(heap, item)
             row_idx += 1
     selected = sorted(heap, key=lambda it: (it[2], it[3]))
-    V = np.array([it[4] for it in selected], dtype=np.float64)
+    return np.array([it[4] for it in selected], dtype=np.float64)
+
+
+def train_centroids_from_file(
+    path: str,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = 10_000,
+    iters: int = 5,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train the IVF coarse quantizer as a PURE FUNCTION of a parquet file
+    (no Spark session; ``_file_sample`` selection → ``_kmeans``)."""
+    V = _file_sample(path, vec_col, id_col, sample_rows, seed)
     return _kmeans(V, n_centroids, iters, seed)
 
 
@@ -867,6 +876,14 @@ def train_ivf_pq(
     (centroids (n_centroids, dim), codebooks (m, n_codes, dim/m)) — both
     pure functions of (data sample, seed)."""
     sample = _bounded_sample(candidates, vec_col, id_col, sample_rows, seed)
+    return _train_ivf_pq_core(sample, n_centroids, m, n_codes, iters, seed)
+
+
+def _train_ivf_pq_core(
+    sample: np.ndarray, n_centroids: int, m: int, n_codes: int, iters: int, seed: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shared IVFADC training body (Spark-sampled and file-pinned trainers
+    feed it the same-shape float64 sample so the math cannot drift)."""
     dim = sample.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -888,6 +905,26 @@ def train_ivf_pq(
     for j in range(m):
         books[j] = _subspace_kmeans(R[:, j * sub:(j + 1) * sub], n_codes, iters, rng)
     return cent, books
+
+
+def train_ivf_pq_from_file(
+    path: str,
+    n_centroids: int = 16,
+    m: int = 16,
+    n_codes: int = 32,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = 10_000,
+    iters: int = 8,
+    seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train the IVFADC index as a PURE FUNCTION of a parquet file (no
+    Spark session): ``_file_sample`` selection → the same training body as
+    ``train_ivf_pq``. Lets a SQL oracle inline the exact centroids and
+    codebooks the engine query uses (the ``train_centroids_from_file``
+    pattern extended to PQ)."""
+    V = _file_sample(path, vec_col, id_col, sample_rows, seed)
+    return _train_ivf_pq_core(V, n_centroids, m, n_codes, iters, seed)
 
 
 def ivf_pq_encode(

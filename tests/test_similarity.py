@@ -226,6 +226,22 @@ def test_ivf_pq_topk_recall_and_cell_pruning(spark):
     index.unpersist()
 
 
+def test_train_ivf_pq_from_file_deterministic():
+    """The file-pinned IVFADC trainer (no Spark session) is a pure
+    function of (parquet path, params): right shapes, run-to-run
+    identical — the property the ann_ivf_pq SQL oracle relies on to
+    inline centroids and codebooks as literals."""
+    from pyppi_spark.operators.similarity import train_ivf_pq_from_file
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    c1, b1 = train_ivf_pq_from_file(path, n_centroids=8, m=8, n_codes=16, seed=42)
+    c2, b2 = train_ivf_pq_from_file(path, n_centroids=8, m=8, n_codes=16, seed=42)
+    assert c1.shape == (8, 64) and b1.shape == (8, 16, 8)
+    assert (c1 == c2).all() and (b1 == b2).all()
+    c3, _ = train_ivf_pq_from_file(path, n_centroids=8, m=8, n_codes=16, seed=7)
+    assert not (c1 == c3).all()
+
+
 def test_ivf_pq_index_partition_pruning(spark, tmp_path):
     """The cell-partitioned index layout turns probe selection into
     storage-level partition pruning: the search plan's scan carries a
