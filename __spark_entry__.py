@@ -1241,12 +1241,19 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-increment dedup + content-key anti-join vs history. Near
     stage: MinHash bands joined new-vs-(old ∪ new) only; increment docs
     near any old doc drop outright, new-only pairs get transitive
-    representatives. Oracle = brute-force all-pairs Jaccard ground truth
-    (LSH miss probability ~6e-15 at 32x2 bands) + recursive components,
-    mirroring the staged semantics exactly."""
+    representatives. The old side's band rows come in through the
+    PERSISTED-table path (``old_bands=minhash_bands(old)``, the
+    ``(id, band_idx, band_hash)`` artifact a production run materializes
+    next to ``content_keys``) — the frozen corpus text is touched only by
+    the Jaccard verify, never re-shingled (O(increment) per run, pytest
+    scan-count-asserted in tests/test_dedup.py). Oracle = brute-force
+    all-pairs Jaccard ground truth (LSH miss probability ~6e-15 at 32x2
+    bands) + recursive components, mirroring the staged semantics
+    exactly."""
     from pyppi_spark.operators.dedup import (
         content_keys,
         exact_dedup_incremental,
+        minhash_bands,
         near_dedup_incremental,
     )
 
@@ -1256,9 +1263,12 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = docs.where(F.col("doc_id") < 250)
     new = docs.where(F.col("doc_id") >= 250)
     step1 = exact_dedup_incremental(new, content_keys(old))
+    old_bands = minhash_bands(
+        old, bands=32, rows_per_band=2, hash_mode="portable"
+    )
     out = near_dedup_incremental(
         step1, old, bands=32, rows_per_band=2, threshold=0.8,
-        hash_mode="portable",
+        hash_mode="portable", old_bands=old_bands,
     )
     return out.select("doc_id")
 

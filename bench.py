@@ -75,6 +75,7 @@ HEADLINE = [
     "moss_dedup",
     "token_stats",
     "embed_dedup",
+    "ann_ivf_pq",
     "pack_sequences",
     "incremental_dedup",
     "corpus_report",
@@ -281,11 +282,31 @@ def main() -> None:
         "fixed control query timed first+last to expose host drift",
         "shuffle_write_mb": shuffle_mb,
     }
-    os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"), exist_ok=True)
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "LAST_RUN.json"), "w"
-    ) as f:
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "LAST_RUN.json"), "w") as f:
         json.dump(detail, f, indent=1)
+    # BEST_RUN.json: the best CLEAN-window sweep seen so far, so cross-round
+    # tooling reads real plan deltas instead of host drift. A sweep
+    # qualifies only when its own drift control stayed flat (first/last
+    # within 15%); it replaces the previous best only when faster on the
+    # queries both runs share (totals are not comparable across rounds
+    # that add queries).
+    ratio = max(control_first, control_last) / max(min(control_first, control_last), 1e-9)
+    if ratio <= 1.15:
+        best_path = os.path.join(bench_dir, "BEST_RUN.json")
+        replace = True
+        if os.path.exists(best_path):
+            with open(best_path) as f:
+                prev = json.load(f)
+            shared = set(prev.get("queries", {})) & set(timings)
+            if shared:
+                prev_t = sum(prev["queries"][q] for q in shared)
+                cur_t = sum(timings[q] for q in shared)
+                replace = cur_t < prev_t
+        if replace:
+            with open(best_path, "w") as f:
+                json.dump(detail, f, indent=1)
     print(json.dumps(headline))
     spark.stop()
 

@@ -75,6 +75,27 @@ class CheckpointLedger:
         )
         return {int(r.partition_key) for r in rows}
 
+    def metrics_of(self, run_id: str, lineage: str, bucket: int | str) -> dict | None:
+        """The ``metrics_json`` payload of the latest ``done`` row for a
+        bucket (or ``None`` if no such row) — how a resumed run reads
+        back metrics that were only observable while the skipped stage
+        actually executed (e.g. Observation cap accounting)."""
+        rows = (
+            self._read()
+            .where(
+                (F.col("run_id") == run_id)
+                & (F.col("input_lineage") == lineage)
+                & (F.col("partition_key") == str(bucket))
+                & (F.col("status") == "done")
+            )
+            .orderBy(F.col("updated_at").desc())
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            return None
+        return json.loads(rows[0]["metrics_json"] or "{}")
+
     def mark(
         self,
         run_id: str,

@@ -38,7 +38,12 @@ def token_count(col: str | Column = "text") -> Column:
 # other-symbol run; residual whitespace runs count as their own token.
 # Alternation is leftmost-first in both engines and the branches are
 # disjoint at any start position, so the tokenization is engine-portable.
-BPE_TOKEN_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+# Whitespace is the EXPLICIT class [ \t\n\r\f\x0B], not \s: Java's \s
+# includes vertical tab \x0B but RE2's does not, so \s would make the
+# two engines diverge on documents containing \x0B.
+BPE_TOKEN_PATTERN = (
+    r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r\f\x0B]+|[ \t\n\r\f\x0B]+"
+)
 
 
 def bpe_token_count(col: str | Column = "text") -> Column:

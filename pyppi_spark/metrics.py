@@ -24,10 +24,28 @@ def observation_metrics(observation: Observation) -> dict | None:
     elided from the final plan (AQE empty-relation propagation — happens
     only when the capped operator's output is entirely empty). Blocks
     until the observed DataFrame's first action completes, exactly like
-    ``Observation.get``."""
+    ``Observation.get``.
+
+    Only the KNOWN elision signatures map to ``None`` — the empty
+    ``GenericRow`` tripping py4j row conversion (AssertionError /
+    IndexError / ValueError in toPyRow) or a missing-metric KeyError.
+    Anything else (wrong metric name upstream, transport failure)
+    re-raises: silently mapping every failure to None would make a
+    broken metrics pipeline indistinguishable from the documented
+    empty-output corner and void the no-silent-caps guarantee."""
     try:
         return dict(observation.get)
-    except Exception:
-        # py4j Py4JJavaError (GenericRow [] fails the toPyRow assertion)
-        # or an empty-row KeyError, depending on the Spark version
+    except (AssertionError, IndexError, KeyError, ValueError):
+        # GenericRow [] fails the toPyRow assertion / empty-row lookup,
+        # depending on the Spark version
         return None
+    except Exception as exc:  # py4j wraps the JVM-side assertion failure:
+        # "calling ...PythonSQLUtils.toPyRow ... java.lang.AssertionError"
+        # (the empty GenericRow failing row conversion)
+        msg = str(exc)
+        if type(exc).__name__ == "Py4JJavaError" and (
+            ("toPyRow" in msg and "AssertionError" in msg)
+            or "GenericRow" in msg
+        ):
+            return None
+        raise

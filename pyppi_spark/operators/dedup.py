@@ -195,6 +195,34 @@ def _band_rows(signatures: DataFrame, id_col: str, bands: int, rows_per_band: in
     )
 
 
+def minhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    bands: int = 32,
+    rows_per_band: int = 2,
+    seed: int = 42,
+    hash_mode: str = "fast",
+) -> DataFrame:
+    """The PERSISTABLE LSH band-row table ``(id, band_idx, band_hash)`` of
+    a corpus — what an incremental pipeline materializes next to
+    ``content_keys`` so later increments never re-read or re-hash frozen
+    corpus text (``near_dedup_incremental(old_bands=...)`` consumes it).
+    ~bands × 12 bytes/doc at rest. All banding parameters must match
+    between the run that wrote the table and the run that consumes it —
+    ``jobs/dedup_corpus.py`` records them in a ``band_params`` sidecar
+    table and validates on read. Reference analog: the staged materialized
+    tables the reference reads back instead of re-deriving
+    (/root/reference/bin/setupPpiDb.py:234-249)."""
+    sigs = minhash_signatures(
+        df, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+        shingle_n=shingle_n, seed=seed, hash_mode=hash_mode,
+    )
+    return _band_rows(sigs, id_col, bands, rows_per_band)
+
+
 def _cap_band_buckets(
     banded: DataFrame,
     max_bucket_size: int | None,
@@ -204,7 +232,18 @@ def _cap_band_buckets(
 ) -> DataFrame:
     """Shared hot-bucket defense: census on the join keys (rides the
     exchange the downstream join needs), 'error' fails with the size,
-    'skip' drops oversized buckets with optional Observation accounting."""
+    'skip' drops oversized buckets with optional Observation accounting.
+    An ``observation`` is only meaningful with ``hot_bucket='skip'`` —
+    'error' mode never drops rows, and silently ignoring the caller's
+    Observation would leave it forever unattached (``observation.get``
+    then blocks waiting for an action that will never come), so that
+    combination raises."""
+    if observation is not None and max_bucket_size is not None and hot_bucket == "error":
+        raise ValueError(
+            f"{op_name}: observation accounting requires hot_bucket='skip' "
+            "(error mode never drops rows; the Observation would never be "
+            "attached to a DataFrame and its .get would block forever)"
+        )
     if max_bucket_size is None:
         return banded
     bsz = F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_hash"))
@@ -899,7 +938,7 @@ def simhash_pairs_from_hashes(
     )
 
 
-def _simhash_candidates(
+def _simhash_banded(
     sim: DataFrame,
     id_col: str,
     max_hamming: int,
@@ -908,11 +947,14 @@ def _simhash_candidates(
     max_tables: int,
     max_bucket_size: int | None,
     observation=None,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """The pre-verify candidate join of ``simhash_pairs_from_hashes``:
-    (a, b, _hi_a, _lo_a, _hi_b, _lo_b) rows, one per (pair, matching
-    table) — exposed separately so tests can measure candidate volume
-    (the quantity the block-combination scheme exists to bound)."""
+    """Shared Manku-table explode: validate the block scheme, emit one row
+    per (doc, probe table) keyed on the concatenated block values, apply
+    the optional hot-bucket cap. ``carry_cols`` ride along (e.g. the
+    ``_new`` flag of the incremental join). Used by both the self-join and
+    the incremental candidate generators so the key construction cannot
+    drift between them."""
     if n_blocks is None and key_blocks is None:
         n_blocks, key_blocks = _simhash_scheme(max_hamming, max_tables)
     elif n_blocks is None or key_blocks is None:
@@ -947,6 +989,7 @@ def _simhash_candidates(
         F.col(id_col),
         "_hi",
         "_lo",
+        *carry_cols,
         F.posexplode(F.array(*[table_key(s) for s in subsets])).alias(
             "_tbl_idx", "_key"
         ),
@@ -963,6 +1006,27 @@ def _simhash_candidates(
                 F.count(F.lit(1)).alias("rows_total"),
             )
         banded = banded.where(F.col("_bsz") <= max_bucket_size).drop("_bsz")
+    return banded
+
+
+def _simhash_candidates(
+    sim: DataFrame,
+    id_col: str,
+    max_hamming: int,
+    n_blocks: int | None,
+    key_blocks: int | None,
+    max_tables: int,
+    max_bucket_size: int | None,
+    observation=None,
+) -> DataFrame:
+    """The pre-verify candidate join of ``simhash_pairs_from_hashes``:
+    (a, b, _hi_a, _lo_a, _hi_b, _lo_b) rows, one per (pair, matching
+    table) — exposed separately so tests can measure candidate volume
+    (the quantity the block-combination scheme exists to bound)."""
+    banded = _simhash_banded(
+        sim, id_col, max_hamming, n_blocks, key_blocks, max_tables,
+        max_bucket_size, observation,
+    )
     a = banded.select(
         F.col(id_col).alias("a"), F.col("_hi").alias("_hi_a"),
         F.col("_lo").alias("_lo_a"), "_tbl_idx", "_key",
@@ -976,6 +1040,128 @@ def _simhash_candidates(
         .where(F.col("a") < F.col("b"))
         .select("a", "b", "_hi_a", "_lo_a", "_hi_b", "_lo_b")
     )
+
+
+def _simhash_halves(
+    df: DataFrame, text_col: str, id_col: str, hash_mode: str
+) -> DataFrame:
+    """(id, _hi, _lo): the document's 64-bit SimHash as two nonneg 32-bit
+    halves in longs — the internal working form shared by the self-join,
+    the incremental join, and the persistable ``simhash_keys`` table."""
+    if hash_mode == "fast":
+        sim = simhash64(df, text_col=text_col, id_col=id_col)
+        mask32 = F.lit((1 << 32) - 1).cast("long")
+        return sim.select(
+            F.col(id_col),
+            F.shiftrightunsigned("simhash", 32).bitwiseAND(mask32).alias("_hi"),
+            F.col("simhash").bitwiseAND(mask32).alias("_lo"),
+        )
+    elif hash_mode == "portable":
+        return simhash_portable32(df, text_col=text_col, id_col=id_col).select(
+            F.col(id_col), F.col("simhash_hi").alias("_hi"), F.col("simhash_lo").alias("_lo")
+        )
+    raise ValueError(f"unknown hash_mode {hash_mode!r}")
+
+
+def simhash_keys(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "fast",
+) -> DataFrame:
+    """The PERSISTABLE SimHash key table ``(id, simhash_hi, simhash_lo)``
+    of a corpus — 8 bytes of hash per document, what an incremental
+    pipeline materializes so later increments never re-read frozen corpus
+    text at all (``simhash_near_dup_incremental(old_keys=...)`` consumes
+    it; unlike MinHash, the SimHash verify step is pure bit arithmetic on
+    the keys, so with this table the old corpus TEXT is never touched).
+    ``hash_mode`` must match between writer and reader —
+    ``jobs/dedup_corpus.py`` records it in the ``band_params`` sidecar."""
+    return _simhash_halves(df, text_col, id_col, hash_mode).select(
+        F.col(id_col),
+        F.col("_hi").alias("simhash_hi"),
+        F.col("_lo").alias("simhash_lo"),
+    )
+
+
+def simhash_near_dup_incremental(
+    new_docs: DataFrame,
+    old_docs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    hash_mode: str = "fast",
+    n_blocks: int | None = None,
+    key_blocks: int | None = None,
+    max_tables: int = 64,
+    max_bucket_size: int | None = None,
+    observation=None,
+    old_keys: DataFrame | None = None,
+) -> DataFrame:
+    """SimHash near-dedup of an increment against a frozen corpus —
+    the cheapest dedup family to run incrementally, because the verify
+    step (``bit_count`` of the XOR) needs only the 8-byte hashes:
+    with ``old_keys`` (a persisted ``simhash_keys`` table) the frozen
+    corpus's TEXT is never read, giving a truly O(increment +
+    |old keys|·C(n,t) band rows) run — no re-shingle, no re-hash, no
+    Jaccard join back to old text. Pass ``old_docs`` instead to derive
+    the keys from text (O(corpus) per run — only for corpora without a
+    persisted key table).
+
+    Semantics mirror ``near_dedup_incremental``: candidates are
+    (new × old) ∪ (new × new) Manku block-combination collisions —
+    old × old pairs are never generated; a new doc within ``max_hamming``
+    bits of ANY old doc drops outright; new-only pairs get transitive
+    representatives. Returns the surviving new documents (all columns).
+    Run ``exact_dedup_incremental`` first. ``hash_mode`` and the block
+    scheme must match the run that wrote ``old_keys``."""
+    if (old_keys is None) == (old_docs is None):
+        raise ValueError("pass exactly one of old_docs or old_keys")
+    new_sim = _simhash_halves(new_docs, text_col, id_col, hash_mode).withColumn(
+        "_new", F.lit(True)
+    )
+    if old_keys is not None:
+        old_sim = old_keys.select(
+            F.col(id_col),
+            F.col("simhash_hi").alias("_hi"),
+            F.col("simhash_lo").alias("_lo"),
+        )
+    else:
+        old_sim = _simhash_halves(old_docs, text_col, id_col, hash_mode)
+    sim = new_sim.unionByName(old_sim.withColumn("_new", F.lit(False)))
+    banded = _simhash_banded(
+        sim, id_col, max_hamming, n_blocks, key_blocks, max_tables,
+        max_bucket_size, observation, carry_cols=("_new",),
+    )
+    left = banded.where("_new").select(
+        F.col(id_col).alias("a"), F.col("_hi").alias("_hi_a"),
+        F.col("_lo").alias("_lo_a"), "_tbl_idx", "_key",
+    )
+    right = banded.select(
+        F.col(id_col).alias("b"), F.col("_hi").alias("_hi_b"),
+        F.col("_lo").alias("_lo_b"), F.col("_new").alias("_new_b"),
+        "_tbl_idx", "_key",
+    )
+    ham = (
+        F.bit_count(F.col("_hi_a").bitwiseXOR(F.col("_hi_b")))
+        + F.bit_count(F.col("_lo_a").bitwiseXOR(F.col("_lo_b")))
+    )
+    # orientation: new-old pairs keep a = new; new-new pairs canonicalize
+    # a < b (each undirected pair verified once, like the MinHash path)
+    pairs = (
+        left.join(right, ["_tbl_idx", "_key"], "inner")
+        .where(F.col("a") != F.col("b"))
+        .where(~F.col("_new_b") | (F.col("a") < F.col("b")))
+        .withColumn("hamming", ham.cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "_new_b")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dup_of_old = pairs.where(~F.col("_new_b")).select(F.col("a").alias(id_col)).distinct()
+    fresh = new_docs.join(dup_of_old, id_col, "left_anti")
+    new_pairs = pairs.where(F.col("_new_b")).select("a", "b").distinct()
+    return near_dedup_representatives(fresh, new_pairs, id_col=id_col)
 
 
 def simhash_near_dup_pairs(
@@ -1001,20 +1187,7 @@ def simhash_near_dup_pairs(
     halves so the DuckDB oracle reproduces the values bit-for-bit; "fast"
     uses xxhash64 (production). Scale note: run AFTER ``exact_dedup`` —
     byte-identical cluster members share every table key."""
-    if hash_mode == "fast":
-        sim = simhash64(df, text_col=text_col, id_col=id_col)
-        mask32 = F.lit((1 << 32) - 1).cast("long")
-        sim = sim.select(
-            F.col(id_col),
-            F.shiftrightunsigned("simhash", 32).bitwiseAND(mask32).alias("_hi"),
-            F.col("simhash").bitwiseAND(mask32).alias("_lo"),
-        )
-    elif hash_mode == "portable":
-        sim = simhash_portable32(df, text_col=text_col, id_col=id_col).select(
-            F.col(id_col), F.col("simhash_hi").alias("_hi"), F.col("simhash_lo").alias("_lo")
-        )
-    else:
-        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    sim = _simhash_halves(df, text_col, id_col, hash_mode)
     return simhash_pairs_from_hashes(
         sim,
         id_col=id_col,
@@ -1151,6 +1324,8 @@ def near_dedup_incremental(
     max_bucket_size: int | None = None,
     hot_bucket: str = "error",
     observation=None,
+    old_bands: DataFrame | None = None,
+    truncate_lineage: bool = True,
 ) -> DataFrame:
     """MinHash near-dedup of an increment against a frozen corpus:
     candidates are (new × old) ∪ (new × new) band collisions — old × old
@@ -1159,26 +1334,41 @@ def near_dedup_incremental(
     Survivors are new docs that are neither near-dups of the old corpus
     nor non-representative within their new-only component.
 
-    Physical shape: band the two sides separately, join new-banded
-    against (old ∪ new)-banded on (band_idx, band_hash) — one equi-join
-    whose left side is increment-sized; Jaccard-verify candidate pairs
-    against the union's texts; drop new docs paired with ANY old doc;
-    transitive representatives over the remaining new-only pairs. At a
-    steady-state corpus the increment is ~1% of the total, so the
-    per-run cost is ~1% of a full re-dedup. Run
+    ``old_bands``: the PERSISTED ``(id, band_idx, band_hash)`` table of
+    the frozen corpus (``minhash_bands`` output materialized by the
+    previous run). With it, the per-run cost is truly O(increment): the
+    old corpus is never re-shingled or re-hashed, and ``old_docs`` text
+    is touched exactly once — to Jaccard-verify the (semi-join-pruned)
+    candidate set. Without it, the old side's signatures are re-derived
+    from text every run — O(corpus) I/O + compute per increment, the
+    cost curve a frozen 100 TB corpus cannot pay daily. The band table
+    MUST have been built with the same (num_hashes, shingle_n, bands,
+    rows_per_band, seed, hash_mode); ``jobs/dedup_corpus.py`` persists
+    and validates these as a ``band_params`` sidecar.
+
+    Physical shape: band the increment, union with the old band rows,
+    join new-banded against (old ∪ new)-banded on (band_idx, band_hash)
+    — one equi-join whose left side is increment-sized; Jaccard-verify
+    candidate pairs against the union's texts; drop new docs paired with
+    ANY old doc; transitive representatives over the remaining new-only
+    pairs. At a steady-state corpus the increment is ~1% of the total,
+    so the per-run cost is ~1% of a full re-dedup. Run
     ``exact_dedup_incremental`` first (byte-dups of old docs never reach
     the band join)."""
     new_sigs = minhash_signatures(
         new_docs, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
         shingle_n=shingle_n, seed=seed, hash_mode=hash_mode,
     )
-    old_sigs = minhash_signatures(
-        old_docs, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
-        shingle_n=shingle_n, seed=seed, hash_mode=hash_mode,
-    )
-
     nb = _band_rows(new_sigs, id_col, bands, rows_per_band).withColumn("_new", F.lit(True))
-    ob = _band_rows(old_sigs, id_col, bands, rows_per_band).withColumn("_new", F.lit(False))
+    if old_bands is None:
+        old_sigs = minhash_signatures(
+            old_docs, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+            shingle_n=shingle_n, seed=seed, hash_mode=hash_mode,
+        )
+        ob = _band_rows(old_sigs, id_col, bands, rows_per_band)
+    else:
+        ob = old_bands.select(F.col(id_col), "band_idx", "band_hash")
+    ob = ob.withColumn("_new", F.lit(False))
     allb = nb.unionByName(ob)
     allb = _cap_band_buckets(
         allb, max_bucket_size, hot_bucket, observation, "near_dedup_incremental"
@@ -1202,26 +1392,31 @@ def near_dedup_incremental(
     # canonicalize orientation BEFORE the expensive Jaccard verify: a
     # new-new collision otherwise appears as both (x, y) and (y, x) and
     # each directed pair would be verified independently (2x the gram
-    # join work); new-old pairs keep a = new
-    cands = (
+    # join work); new-old pairs keep a = new. truncate_lineage=False keeps
+    # the full lineage visible (tests count file scans in the composed plan)
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=False) if truncate_lineage else df
+
+    cands = _ckpt(
         left.join(right, ["band_idx", "band_hash"], "inner")
         .where(F.col("a") != F.col("b"))
         .where(~F.col("_new_b") | (F.col("a") < F.col("b")))
         .select("a", "b", "_new_b")
         .distinct()
-        .localCheckpoint(eager=False)
     )
     union_docs = new_docs.select(F.col(id_col), F.col(text_col)).unionByName(
         old_docs.select(F.col(id_col), F.col(text_col))
     )
-    verified = ngram_jaccard_pairs(
-        union_docs,
-        cands.select("a", "b"),
-        text_col=text_col,
-        id_col=id_col,
-        threshold=threshold,
-        shingle_n=shingle_n,
-    ).join(cands.select("a", "b", "_new_b"), ["a", "b"]).localCheckpoint(eager=False)
+    verified = _ckpt(
+        ngram_jaccard_pairs(
+            union_docs,
+            cands.select("a", "b"),
+            text_col=text_col,
+            id_col=id_col,
+            threshold=threshold,
+            shingle_n=shingle_n,
+        ).join(cands.select("a", "b", "_new_b"), ["a", "b"])
+    )
     # any new doc similar to an OLD doc is dropped outright
     dup_of_old = verified.where(~F.col("_new_b")).select(F.col("a").alias(id_col)).distinct()
     fresh = new_docs.join(dup_of_old, id_col, "left_anti")

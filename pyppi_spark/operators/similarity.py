@@ -507,7 +507,8 @@ def threshold_pairs_exact(
     vec_col: str = "embedding",
     dim: int = 64,
     guard: float = 1e-6,
-    n_blocks: int = 1,
+    n_blocks: int | None = None,
+    block_budget_bytes: int = 512 * 1024 * 1024,
 ) -> DataFrame:
     """EXACT all-pairs cosine threshold join (a < b), two-phase:
 
@@ -537,15 +538,29 @@ def threshold_pairs_exact(
     so peak memory is one block regardless of N while exactness is
     preserved (blocks partition the matrix side: every (a, b) pair is
     scored in exactly the one pass owning b). Wall cost is unchanged
-    O(n²·d) flops + n_blocks job launches; pick
-    ``n_blocks ≈ N·d·8 / executor_mem``. For sets where even O(n²)
-    *scoring* is too much, switch to ``embedding_neardup_pairs`` (LSH).
+    O(n²·d) flops + n_blocks job launches.
+
+    ``n_blocks=None`` (default) SIZES ITSELF: one cheap ``count()``
+    estimates the matrix bytes (N·d·8, doubled for the normalized copy +
+    Arrow staging) and picks ``ceil(bytes / block_budget_bytes)`` — a
+    hand-guessed block count that is too small is not a slow run, it is a
+    driver/executor OOM in the ``toPandas`` materialization, so the
+    default must never depend on the caller knowing N. Pass an explicit
+    ``n_blocks`` to override (e.g. to force single-block for tiny inputs
+    without paying the count). For sets where even O(n²) *scoring* is too
+    much, switch to ``embedding_neardup_pairs`` (LSH).
     """
+    import math
+
     import pandas as pd
 
+    spark = df.sparkSession
+    if n_blocks is None:
+        n_rows = df.count()  # parquet-metadata cheap
+        approx_bytes = 2 * n_rows * dim * 8
+        n_blocks = max(1, math.ceil(approx_bytes / block_budget_bytes))
     if n_blocks < 1:
         raise ValueError("n_blocks must be >= 1")
-    spark = df.sparkSession
     id_type = df.schema[id_col].dataType.simpleString()
     side = df.select(F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v"))
     cut = threshold - guard

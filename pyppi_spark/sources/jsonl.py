@@ -84,15 +84,20 @@ def split_corrupt(
     dropped, and the malformed lines as (``corrupt_col``) rows for a
     bad-row ledger.
 
-    ``cache=True`` (default) persists the parsed scan first — Spark
-    REFUSES corrupt-column-only queries against a raw JSON scan
+    ``cache=True`` (default) truncates lineage with a lazy
+    ``localCheckpoint`` first — Spark REFUSES corrupt-column-only queries
+    against a raw JSON scan
     (``UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN``; column
     pruning would make the parser skip the very parse that detects
-    corruption), and materializing both sides wants the scan cached
-    anyway. Pass ``cache=False`` only if the caller persists ``df``
-    itself."""
-    if cache and not df.isStreaming:  # streaming plans cannot persist
-        df = df.persist()
+    corruption), and both sides then read the one materialized parse.
+    localCheckpoint blocks are released when the DataFrame is
+    garbage-collected (ContextCleaner), unlike ``persist()`` whose cache
+    entry would pin executor memory for the session lifetime unless the
+    caller remembered to unpersist — this function hands out no handle,
+    so it must not create unbounded-lifetime state. Pass ``cache=False``
+    only if the caller persists ``df`` itself."""
+    if cache and not df.isStreaming:  # streaming plans cannot checkpoint
+        df = df.localCheckpoint(eager=False)
     valid = df.where(F.col(corrupt_col).isNull()).drop(corrupt_col)
     bad = df.where(F.col(corrupt_col).isNotNull()).select(corrupt_col)
     return valid, bad

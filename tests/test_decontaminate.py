@@ -258,7 +258,26 @@ def test_bpe_token_count_known_values(spark):
         (4, None),
         (5, ""),
         (6, "price: 42 dollars"),  # "price", ":", " 42", " dollars"
+        (7, "a\x0bb"),             # "a", "\x0b" (whitespace run), "b"
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r.n for r in docs.select("doc_id", bpe_token_count("text").alias("n")).collect()}
-    assert got == {0: 2, 1: 4, 2: 2, 3: 4, 4: 0, 5: 0, 6: 4}
+    assert got == {0: 2, 1: 4, 2: 2, 3: 4, 4: 0, 5: 0, 6: 4, 7: 3}
+
+    # engine portability incl. the vertical-tab corner: Java \s matches
+    # \x0B, RE2's does not — the shared pattern uses an explicit class,
+    # so DuckDB must count every row identically
+    import duckdb
+
+    from pyppi_spark.functions.text import BPE_TOKEN_PATTERN
+
+    con = duckdb.connect()
+    for _, txt in rows:
+        if txt is None:
+            continue
+        duck_n = con.execute(
+            "SELECT coalesce(len(regexp_extract_all(?, ?)), 0)",
+            [txt, BPE_TOKEN_PATTERN],
+        ).fetchone()[0]
+        spark_n = got[[r[0] for r in rows if r[1] == txt][0]]
+        assert duck_n == spark_n, (txt, duck_n, spark_n)

@@ -636,3 +636,153 @@ def test_incremental_dedup_against_frozen_corpus(spark):
     # 101 ~ old -> dropped; 102 ~ 101 (new-new pair) -> component min 101
     # is itself gone, so 102 drops transitively; 103/104 keep min 103
     assert ids == [103, 105]
+
+
+def test_near_dedup_incremental_old_bands_scans_old_text_once(spark, tmp_path):
+    """The persisted-band-table path: results identical to the
+    text-derived path, and the frozen corpus parquet is scanned exactly
+    ONCE in the plan (the Jaccard verify) — the signature stage reads
+    only the 12-byte band rows. Without old_bands the old text feeds
+    both the signature stage and the verify (>= 2 scans)."""
+    from pyppi_spark.operators.dedup import (
+        content_keys,
+        exact_dedup_incremental,
+        minhash_bands,
+        near_dedup_incremental,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    old_rows = [(0, base), (1, "an established corpus document about parquet readers")]
+    new_rows = [
+        (101, base.replace("dog", "cat")),
+        (102, base.replace("dog", "cat").replace("today", "tonight")),
+        (103, "a completely novel document describing watermark semantics in streams"),
+        (104, "a completely novel document describing watermark semantics in rivers"),
+        (105, "entirely unrelated text on garbage collector tuning for large heaps"),
+    ]
+    old_path = str(tmp_path / "old_docs")
+    bands_path = str(tmp_path / "old_bands")
+    keys_path = str(tmp_path / "content_keys")
+    spark.createDataFrame(old_rows, "doc_id long, text string").write.parquet(old_path)
+    old = spark.read.parquet(old_path)
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    # previous run persists the key + band tables; this run consumes them
+    minhash_bands(old, bands=32, rows_per_band=2).write.parquet(bands_path)
+    content_keys(old).write.parquet(keys_path)
+    old_bands = spark.read.parquet(bands_path)
+
+    step1 = exact_dedup_incremental(new, spark.read.parquet(keys_path))
+    banded = near_dedup_incremental(
+        step1, old, bands=32, rows_per_band=2, threshold=0.5, hash_mode="fast",
+        old_bands=old_bands,
+    )
+    texty = near_dedup_incremental(
+        step1, old, bands=32, rows_per_band=2, threshold=0.5, hash_mode="fast"
+    )
+    ids_banded = sorted(r.doc_id for r in banded.select("doc_id").collect())
+    ids_texty = sorted(r.doc_id for r in texty.select("doc_id").collect())
+    assert ids_banded == ids_texty == [103, 105]
+
+    # O(increment) evidence: the old-docs file has exactly ONE distinct
+    # scan (the Jaccard verify) in the banded plan, >= 2 (signatures +
+    # verify) otherwise. truncate_lineage=False disables the internal
+    # lazy localCheckpoints (which replace subtrees with RDD placeholders
+    # and would hide scans); a shared subtree re-printed under several
+    # parents gets fresh ExprIds per reference, so nodes are deduped with
+    # ExprIds stripped.
+    import re
+
+    def distinct_scans(path_tag, **kw):
+        df = near_dedup_incremental(
+            step1, old, bands=32, rows_per_band=2, threshold=0.5,
+            hash_mode="fast", truncate_lineage=False, **kw,
+        )
+        s = df._jdf.queryExecution().executedPlan().toString()
+        nodes = [
+            m.group(0)
+            for m in re.finditer(r"FileScan parquet \[[^\]]*\][^\n]*", s)
+            if path_tag in m.group(0)
+        ]
+        return {re.sub(r"#\d+", "#", n) for n in nodes}, len(nodes)
+
+    # pytest tmp paths exceed the 100-char Location truncation default
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "500")
+    try:
+        d_banded, r_banded = distinct_scans("old_docs", old_bands=old_bands)
+        d_texty, r_texty = distinct_scans("old_docs")
+        d_bands, _ = distinct_scans("old_bands", old_bands=old_bands)
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
+    assert len(d_banded) == 1, f"old corpus scanned {len(d_banded)}x with persisted bands"
+    assert len(d_bands) == 1  # the persisted band table feeds the join
+    # contrast: the text-derived path additionally re-signs the old corpus
+    # (its signature subtree references old text under the band join), so
+    # it carries strictly more old-docs scan references in the tree
+    assert r_texty > r_banded, (r_texty, r_banded)
+
+
+def test_simhash_near_dup_incremental_keys_vs_text(spark):
+    """SimHash incremental dedup: near-dup-of-old drops outright, new-new
+    pair keeps the min id, unique docs survive; the persisted-key path
+    (old_keys) returns exactly the text-derived result — and needs no old
+    text at all."""
+    import pytest
+
+    from pyppi_spark.operators.dedup import (
+        simhash64,
+        simhash_keys,
+        simhash_near_dup_incremental,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "today while herons watch the shallow water for careless minnows"
+    )
+    novel = (
+        "a completely different document describing watermark semantics for "
+        "late events in structured streaming jobs with stateful operators"
+    )
+    old = spark.createDataFrame(
+        [(0, base), (1, "an established corpus document about parquet readers")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (101, base.replace("dog", "cat")),      # near dup of old 0
+            (103, novel),
+            (104, novel.replace("jobs", "tasks")),  # near dup of 103
+            (105, "entirely unrelated text on garbage collector tuning for large heaps"),
+        ],
+        "doc_id long, text string",
+    )
+    # fixture sanity: planted pairs inside the Hamming ball, all other
+    # cross pairs outside it (so the expected survivor set is forced)
+    R = 10
+    h = {r.doc_id: r.simhash for r in simhash64(old.unionByName(new)).collect()}
+
+    def ham(x, y):
+        return bin((h[x] ^ h[y]) & (2**64 - 1)).count("1")
+
+    planted = {(0, 101), (103, 104)}
+    import itertools
+    for x, y in itertools.combinations(sorted(h), 2):
+        if (x, y) in planted:
+            assert ham(x, y) <= R, (x, y, ham(x, y))
+        else:
+            assert ham(x, y) > R, (x, y, ham(x, y))
+
+    from_text = simhash_near_dup_incremental(new, old, max_hamming=R)
+    ids_text = sorted(r.doc_id for r in from_text.select("doc_id").collect())
+    assert ids_text == [103, 105]
+
+    keys = simhash_keys(old)  # what a previous run would have persisted
+    from_keys = simhash_near_dup_incremental(new, old_keys=keys, max_hamming=R)
+    ids_keys = sorted(r.doc_id for r in from_keys.select("doc_id").collect())
+    assert ids_keys == ids_text
+
+    with pytest.raises(ValueError, match="exactly one"):
+        simhash_near_dup_incremental(new, old, old_keys=keys)
+    with pytest.raises(ValueError, match="exactly one"):
+        simhash_near_dup_incremental(new)

@@ -116,6 +116,30 @@ def test_threshold_pairs_blocked_equals_single(spark, vecs):
         assert (g.cos_sim == w.cos_sim).all()
 
 
+def test_threshold_pairs_auto_blocks_from_budget(spark, vecs):
+    """n_blocks=None sizes itself from a cheap count: a forced-small
+    block budget must select > 1 block (never a single unbounded
+    broadcast) and the output must equal the single-block run exactly."""
+    import math
+
+    from pyppi_spark.operators.similarity import threshold_pairs_exact
+
+    n = vecs.count()
+    budget = n * DIM * 8 // 2  # ~2x the matrix bytes estimate -> ceil = 4
+    expected_blocks = math.ceil(2 * n * DIM * 8 / budget)
+    assert expected_blocks > 1
+
+    one = threshold_pairs_exact(vecs, threshold=0.9, dim=DIM, n_blocks=1).toPandas()
+    auto = threshold_pairs_exact(
+        vecs, threshold=0.9, dim=DIM, block_budget_bytes=budget
+    ).toPandas()
+    g = one.sort_values(["a", "b"]).reset_index(drop=True)
+    w = auto.sort_values(["a", "b"]).reset_index(drop=True)
+    assert len(g) == len(w) and len(g) >= 5
+    assert (g.a == w.a).all() and (g.b == w.b).all()
+    assert (g.cos_sim == w.cos_sim).all()
+
+
 def test_threshold_pairs_blocked_empty(spark):
     from pyppi_spark.operators.similarity import threshold_pairs_exact
 
