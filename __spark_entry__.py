@@ -1310,6 +1310,44 @@ def q_moss_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def q_moss_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MOSS dedup — the daily-increment shape for the
+    overlap/plagiarism family (plans.training_set.moss_dedup_incremental):
+    docs < 250 are the frozen history, >= 250 the increment. Exact stage:
+    within-increment dedup + content-key anti-join vs history. Near
+    stage: the increment is fingerprinted and joined new-vs-(old ∪ new)
+    on the fingerprint value — old × old pairs never generated; an
+    increment doc sharing >= 10 fingerprints AND >= 50% of the smaller
+    doc's fingerprint set with ANY old doc drops outright, new-only pairs
+    get transitive representatives. The old side comes in through the
+    PERSISTED-fingerprint path (``old_fps``, the ``winnow_fps`` artifact
+    ``jobs/dedup_corpus.py`` materializes) — unlike the MinHash family
+    the verify needs no text at all, so the frozen corpus TEXT is never
+    read (O(increment) per run). Oracle = the identical staged
+    composition in DuckDB over the union fingerprint table."""
+    from pyppi_spark.operators.dedup import (
+        content_keys,
+        exact_dedup_incremental,
+        winnow_fingerprints_kernel,
+    )
+    from pyppi_spark.plans.training_set import moss_dedup_incremental
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text").where(
+        F.col("text").isNotNull()
+    )
+    old = docs.where(F.col("doc_id") < 250)
+    new = docs.where(F.col("doc_id") >= 250)
+    step1 = exact_dedup_incremental(new, content_keys(old))
+    old_fps = winnow_fingerprints_kernel(
+        old, k=7, window=4, hash_mode="portable"
+    )
+    out = moss_dedup_incremental(
+        step1, old_fps=old_fps, k=7, window=4, min_shared=10,
+        min_overlap_frac=0.5, max_bucket_size=200, hash_mode="portable",
+    )
+    return out.select("doc_id")
+
+
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-token-window document chunking with overlap (the standard
     pre-tokenization step of an LLM training pipeline): one row per
@@ -1403,6 +1441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": q_chunk_docs,
         "winnow_pairs": q_winnow_pairs,
         "moss_dedup": q_moss_dedup,
+        "moss_incremental": q_moss_incremental,
         "token_stats": q_token_stats,
         "embed_dedup": q_embed_dedup,
         "jsonl_scan": q_jsonl_scan,
@@ -2452,6 +2491,65 @@ SELECT group_id, seq_id::BIGINT AS seq_id, doc_id,
        (least(start + nt, (seq_id + 1) * 128) - start)::BIGINT AS slice_end,
        (greatest(start, seq_id * 128) - seq_id * 128)::BIGINT AS seq_offset
 FROM X
+""",
+        "moss_incremental": rf"""
+WITH RECURSIVE OLDD AS (
+  SELECT doc_id, {_NORM} AS t FROM documents
+  WHERE doc_id < 250 AND text IS NOT NULL
+), NEWD AS (
+  SELECT doc_id, {_NORM} AS t FROM documents
+  WHERE doc_id >= 250 AND text IS NOT NULL
+), X AS (
+  SELECT doc_id, t FROM (
+    SELECT *, row_number() OVER (PARTITION BY t ORDER BY doc_id) AS rn
+    FROM NEWD) WHERE rn = 1
+), X2 AS (
+  SELECT doc_id, t FROM X x
+  WHERE NOT EXISTS (SELECT 1 FROM OLDD o WHERE o.t = x.t)
+), U AS (
+  SELECT doc_id, t, TRUE AS is_new FROM X2
+  UNION ALL
+  SELECT doc_id, t, FALSE FROM OLDD
+), P AS (
+  SELECT doc_id, is_new, t,
+         unnest(generate_series(1, greatest(length(t) - 6, 1))) AS pos
+  FROM U
+), H AS (
+  SELECT doc_id, is_new, pos, {_H32.format(x="substr(t, pos::INT, 7)")} AS h FROM P
+), FP0 AS (
+  SELECT DISTINCT doc_id, is_new,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint
+  FROM H
+), CNT AS (
+  SELECT doc_id, count(*) AS nfp FROM FP0 GROUP BY doc_id
+), FP AS (
+  SELECT doc_id, is_new, fingerprint FROM (
+    SELECT *, count(*) OVER (PARTITION BY fingerprint) AS _c FROM FP0
+  ) WHERE _c <= 200
+), PR AS (
+  SELECT a, b, new_b FROM (
+    SELECT x.doc_id AS a, y.doc_id AS b, y.is_new AS new_b, count(*) AS n_shared
+    FROM FP x JOIN FP y
+      ON x.fingerprint = y.fingerprint
+     AND x.is_new AND x.doc_id <> y.doc_id
+     AND (NOT y.is_new OR x.doc_id < y.doc_id)
+    GROUP BY a, b, new_b
+    HAVING count(*) >= 10
+  ) p JOIN CNT ca ON p.a = ca.doc_id JOIN CNT cb ON p.b = cb.doc_id
+  WHERE n_shared >= 0.5 * least(ca.nfp, cb.nfp)
+), PO AS (SELECT DISTINCT a FROM PR WHERE NOT new_b
+), PN AS (SELECT a, b FROM PR WHERE new_b
+), NN AS (SELECT a AS n FROM PN UNION SELECT b FROM PN
+), E AS (SELECT a AS s, b AS d FROM PN UNION SELECT b, a FROM PN
+), R(n, l) AS (
+  SELECT n, n FROM NN
+  UNION
+  SELECT e.d, r.l FROM R r JOIN E e ON r.n = e.s
+), C AS (SELECT n, min(l) AS rep FROM R GROUP BY n)
+SELECT doc_id FROM X2
+WHERE doc_id NOT IN (SELECT a FROM PO)
+  AND doc_id NOT IN (SELECT n FROM C WHERE n <> rep)
 """,
         "moss_dedup": rf"""
 WITH RECURSIVE X AS (

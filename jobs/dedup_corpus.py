@@ -24,6 +24,9 @@ Outputs under ``<output>/``:
 - ``simhash_keys``        — (id, simhash_hi, simhash_lo), 8 bytes/doc
   (strategy=simhash): the next increment needs NO old text at all (the
   Hamming verify is pure bit arithmetic on the keys)
+- ``winnow_fps``          — (id, fingerprint) winnowing fingerprints of
+  the kept corpus (strategy=moss): like simhash, the MOSS overlap rule
+  is evaluated on fingerprints alone, so increments never read old text
 - ``band_params``         — sidecar recording the banding/hash parameters;
   validated on read so an increment cannot silently join bands built
   with different parameters
@@ -64,6 +67,7 @@ MINHASH_PARAMS = {
     "bands": 32, "rows_per_band": 2, "seed": 42, "hash_mode": "fast",
 }
 SIMHASH_PARAMS = {"family": "simhash", "hash_mode": "fast"}
+MOSS_PARAMS = {"family": "moss", "k": 7, "window": 4, "hash_mode": "fast"}
 
 
 def _write_text(spark, path: str, content: str) -> None:
@@ -130,8 +134,9 @@ def main(argv: list[str] | None = None) -> dict:
                          "--prev-artifacts, by the simhash near stage")
     ap.add_argument("--prev-artifacts",
                     help="previous run's --output dir: supplies "
-                         "minhash_bands/simhash_keys (+ band_params, "
-                         "validated) so the frozen corpus is never re-hashed")
+                         "minhash_bands/simhash_keys/winnow_fps (+ "
+                         "band_params, validated) so the frozen corpus is "
+                         "never re-hashed")
     ap.add_argument("--jaccard-threshold", type=float, default=0.8)
     ap.add_argument("--max-bucket-size", type=int, default=10_000)
     ap.add_argument("--run-id",
@@ -204,12 +209,16 @@ def main(argv: list[str] | None = None) -> dict:
     near_stage_ran = False
     prev_bands = None     # minhash band rows of the frozen corpus (if any)
     prev_keys = None      # simhash keys of the frozen corpus (if any)
+    prev_fps = None       # winnow fingerprints of the frozen corpus (if any)
 
     if args.mode == "incremental":
         if not history_keys:
             ap.error("--history-keys or --prev-artifacts required for incremental mode")
-        if args.strategy == "moss":
-            ap.error("incremental mode supports minhash, simhash, or exact-only")
+        if args.strategy == "moss" and not (args.prev_artifacts or args.old_documents):
+            ap.error(
+                "incremental moss needs --prev-artifacts (persisted "
+                "winnow_fps; no old text read at all) or --old-documents"
+            )
         if args.strategy == "minhash" and not args.old_documents:
             # the Jaccard verify reads candidate texts; failing loudly
             # beats silently skipping the near stage while the metrics
@@ -230,6 +239,33 @@ def main(argv: list[str] | None = None) -> dict:
         )
         if args.strategy == "exact-only":
             kept, _ = stage(2, f"{out_dir}/documents_kept", lambda: step1)
+        elif args.strategy == "moss":
+            from pyppi_spark.plans.training_set import moss_dedup_incremental
+
+            if args.prev_artifacts:
+                _validate_band_params(spark, args.prev_artifacts, MOSS_PARAMS)
+                prev_fps = spark.read.parquet(f"{args.prev_artifacts}/winnow_fps")
+
+            def build_kept():
+                kw = (
+                    {"old_fps": prev_fps}
+                    if prev_fps is not None
+                    else {"old_docs": spark.read.parquet(args.old_documents)}
+                )
+                return moss_dedup_incremental(
+                    step1,
+                    k=MOSS_PARAMS["k"], window=MOSS_PARAMS["window"],
+                    hash_mode=MOSS_PARAMS["hash_mode"],
+                    max_bucket_size=args.max_bucket_size, observation=obs,
+                    repartition_to=spark.sparkContext.defaultParallelism,
+                    **kw,
+                )
+
+            kept, cap_metrics = stage(
+                2, f"{out_dir}/documents_kept", build_kept,
+                lambda: observation_metrics(obs),
+            )
+            near_stage_ran = True
         elif args.strategy == "simhash":
             if args.prev_artifacts:
                 _validate_band_params(spark, args.prev_artifacts, SIMHASH_PARAMS)
@@ -360,6 +396,28 @@ def main(argv: list[str] | None = None) -> dict:
             new_bands = old_b.unionByName(new_bands)
         new_bands.write.mode("overwrite").parquet(f"{out_dir}/minhash_bands")
         _write_band_params(spark, out_dir, MINHASH_PARAMS)
+    elif args.strategy == "moss":
+        from pyppi_spark.operators.dedup import winnow_fingerprints_kernel
+
+        new_fps = winnow_fingerprints_kernel(
+            kept_mat, k=MOSS_PARAMS["k"], window=MOSS_PARAMS["window"],
+            hash_mode=MOSS_PARAMS["hash_mode"],
+            repartition_to=spark.sparkContext.defaultParallelism,
+        )
+        if args.mode == "incremental":
+            old_f = (
+                prev_fps
+                if prev_fps is not None
+                else winnow_fingerprints_kernel(
+                    spark.read.parquet(args.old_documents),
+                    k=MOSS_PARAMS["k"], window=MOSS_PARAMS["window"],
+                    hash_mode=MOSS_PARAMS["hash_mode"],
+                    repartition_to=spark.sparkContext.defaultParallelism,
+                )
+            )
+            new_fps = old_f.unionByName(new_fps)
+        new_fps.write.mode("overwrite").parquet(f"{out_dir}/winnow_fps")
+        _write_band_params(spark, out_dir, MOSS_PARAMS)
     elif args.strategy == "simhash":
         new_keys = simhash_keys(kept_mat, hash_mode=SIMHASH_PARAMS["hash_mode"])
         if args.mode == "incremental":

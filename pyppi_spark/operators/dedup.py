@@ -1275,6 +1275,69 @@ def winnow_candidate_pairs(
     return pairs
 
 
+def winnow_candidate_pairs_incremental(
+    fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    min_shared: int = 2,
+    max_bucket_size: int | None = None,
+    observation=None,
+    min_overlap_frac: float | None = None,
+) -> DataFrame:
+    """The MOSS match step restricted to an increment: ``fingerprints``
+    carries a boolean ``_new`` column; pairs are (new × old) ∪ (new × new)
+    fingerprint collisions — old × old pairs are never generated (the
+    frozen corpus was already deduped). Output: (a, b, n_shared, _new_b)
+    with a always a new doc; new-new pairs canonicalized a < b.
+
+    Same thresholds and hot-fingerprint cap as ``winnow_candidate_pairs``
+    (per-doc totals for the fractional rule counted PRE-cap over the full
+    union table). Like the SimHash family — and unlike MinHash — the
+    verify needs NO document text: overlap is counted on the fingerprints
+    themselves, so with a persisted old-fingerprint table the frozen
+    corpus text is never read at all."""
+    fp = fingerprints.select(F.col(id_col), F.col("fingerprint"), F.col("_new"))
+    if max_bucket_size is not None:
+        bsz = F.count(F.lit(1)).over(Window.partitionBy("fingerprint"))
+        fp = fp.withColumn("_bsz", bsz)
+        if observation is not None:
+            fp = fp.observe(
+                observation,
+                F.sum((F.col("_bsz") > max_bucket_size).cast("long")).alias("rows_dropped"),
+                F.count(F.lit(1)).alias("rows_total"),
+            )
+        fp = fp.where(F.col("_bsz") <= max_bucket_size).drop("_bsz")
+    a = fp.where("_new").select(F.col(id_col).alias("a"), "fingerprint")
+    b = fp.select(
+        F.col(id_col).alias("b"), F.col("_new").alias("_new_b"), "fingerprint"
+    )
+    pairs = (
+        a.join(b, "fingerprint")
+        .where(F.col("a") != F.col("b"))
+        .where(~F.col("_new_b") | (F.col("a") < F.col("b")))
+        .groupBy("a", "b", "_new_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    if min_overlap_frac is not None:
+        counts = fingerprints.groupBy(F.col(id_col)).agg(
+            F.count(F.lit(1)).alias("_nfp")
+        )
+        pairs = (
+            pairs.join(
+                counts.select(F.col(id_col).alias("a"), F.col("_nfp").alias("_na")), "a"
+            )
+            .join(
+                counts.select(F.col(id_col).alias("b"), F.col("_nfp").alias("_nb")), "b"
+            )
+            .where(
+                F.col("n_shared")
+                >= F.lit(min_overlap_frac) * F.least("_na", "_nb")
+            )
+            .select("a", "b", "n_shared", "_new_b")
+        )
+    return pairs.select("a", "b", "n_shared", "_new_b")
+
+
 # ---------------------------------------------------------- incremental
 
 def content_keys(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -1,5 +1,5 @@
 from .features import turn_features, conv_features, conv_features_from_turns, ROLE_SET
-from .training_set import build_training_set, clean_documents, moss_dedup_documents
+from .training_set import build_training_set, clean_documents, moss_dedup_documents, moss_dedup_incremental
 
 __all__ = [
     "turn_features",
@@ -9,4 +9,5 @@ __all__ = [
     "build_training_set",
     "clean_documents",
     "moss_dedup_documents",
+    "moss_dedup_incremental",
 ]

@@ -153,6 +153,68 @@ def moss_dedup_documents(
     return near_dedup_representatives(uniq, pairs.select("a", "b"), id_col=id_col)
 
 
+def moss_dedup_incremental(
+    new_docs: DataFrame,
+    old_docs: DataFrame | None = None,
+    k: int = 7,
+    window: int = 4,
+    min_shared: int = 10,
+    min_overlap_frac: float | None = 0.5,
+    max_bucket_size: int | None = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_mode: str = "fast",
+    repartition_to: int | None = None,
+    observation=None,
+    old_fps: DataFrame | None = None,
+) -> DataFrame:
+    """MOSS near-dedup of an increment against a frozen corpus. Like the
+    SimHash family, the MOSS overlap criterion is evaluated on the
+    fingerprints alone — so with ``old_fps`` (the persisted
+    ``(id, fingerprint)`` table a previous run materialized,
+    ``jobs/dedup_corpus.py``'s ``winnow_fps`` artifact) the frozen
+    corpus TEXT is never read: the increment is fingerprinted
+    (zero-shuffle kernel), joined new-vs-(old ∪ new) on the fingerprint
+    value, and scored with the same ``min_shared`` + fractional-overlap
+    rule as ``moss_dedup_documents``. old × old pairs are never
+    generated. Pass ``old_docs`` instead to derive the fingerprints from
+    text (O(corpus) per run — only for corpora without the artifact).
+
+    Run ``exact_dedup_incremental`` FIRST (same composition contract as
+    the full pipeline: byte-identical copies share every fingerprint —
+    hot-bucket quadratics — and sub-``min_shared``-fingerprint docs can
+    only be caught by the exact stage). Fingerprint parameters
+    (k, window, hash_mode) must match the run that wrote ``old_fps`` —
+    the job's ``band_params`` sidecar validates this. Returns surviving
+    new documents (all columns); a new doc overlapping ANY old doc drops
+    outright, new-only pairs keep the component-min representative."""
+    from ..operators.dedup import winnow_candidate_pairs_incremental
+
+    if (old_fps is None) == (old_docs is None):
+        raise ValueError("pass exactly one of old_docs or old_fps")
+    new_fp = winnow_fingerprints_kernel(
+        new_docs, text_col=text_col, id_col=id_col, k=k, window=window,
+        hash_mode=hash_mode, repartition_to=repartition_to,
+    ).withColumn("_new", F.lit(True))
+    if old_fps is not None:
+        old_fp = old_fps.select(F.col(id_col), F.col("fingerprint"))
+    else:
+        old_fp = winnow_fingerprints_kernel(
+            old_docs, text_col=text_col, id_col=id_col, k=k, window=window,
+            hash_mode=hash_mode, repartition_to=repartition_to,
+        )
+    fps = new_fp.unionByName(old_fp.withColumn("_new", F.lit(False)))
+    pairs = winnow_candidate_pairs_incremental(
+        fps, id_col=id_col, min_shared=min_shared,
+        min_overlap_frac=min_overlap_frac,
+        max_bucket_size=max_bucket_size, observation=observation,
+    ).localCheckpoint(eager=False)
+    dup_of_old = pairs.where(~F.col("_new_b")).select(F.col("a").alias(id_col)).distinct()
+    fresh = new_docs.join(dup_of_old, id_col, "left_anti")
+    new_pairs = pairs.where(F.col("_new_b")).select("a", "b").distinct()
+    return near_dedup_representatives(fresh, new_pairs, id_col=id_col)
+
+
 def build_training_set(
     transcripts: DataFrame,
     probes: DataFrame | None = None,

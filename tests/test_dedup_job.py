@@ -190,3 +190,46 @@ def test_dedup_corpus_job_kill_resume_identical(spark, tmp_path):
     ids_ok = sorted(r.doc_id for r in spark.read.parquet(f"{out_ok}/documents_kept").collect())
     ids_kr = sorted(r.doc_id for r in spark.read.parquet(f"{out_kr}/documents_kept").collect())
     assert ids_ok == ids_kr
+
+
+def test_dedup_corpus_job_incremental_moss_no_old_text(spark, tmp_path):
+    """Incremental MOSS from persisted fingerprints alone: --old-documents
+    is not passed at all — the frozen corpus text is never read (the
+    overlap rule is counted on the persisted (id, fingerprint) rows), and
+    the winnow_fps artifact grows to cover the union corpus."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    old_shard = str(tmp_path / "shard0")
+    new_shard = str(tmp_path / "shard1")
+    docs.where("doc_id < 30").write.parquet(old_shard)
+    docs.where("doc_id >= 20 and doc_id < 60").write.parquet(new_shard)
+
+    out0 = str(tmp_path / "run0")
+    m0 = _run([
+        "--documents", old_shard, "--output", out0,
+        "--strategy", "moss", "--master", "local[4]",
+    ])
+    assert m0["strategy"] == "moss" and m0["near_stage_ran"] is True
+    fps0 = spark.read.parquet(f"{out0}/winnow_fps")
+    assert fps0.select("doc_id").distinct().count() == m0["docs_kept"]
+    assert spark.read.parquet(f"{out0}/band_params").count() == 1
+
+    out1 = str(tmp_path / "run1")
+    m1 = _run([
+        "--documents", new_shard, "--output", out1, "--mode", "incremental",
+        "--strategy", "moss",
+        "--prev-artifacts", out0,
+        "--master", "local[4]",
+    ])
+    assert m1["near_stage_ran"] is True and m1["docs_in"] == 40
+    assert m1["cap_accounting"] is not None
+    kept = spark.read.parquet(f"{out1}/documents_kept")
+    assert kept.where("doc_id < 30").count() == 0  # exact dups of history gone
+    assert kept.count() == m1["docs_kept"]
+    # fingerprint artifact grew to union coverage
+    fps1 = spark.read.parquet(f"{out1}/winnow_fps")
+    assert (
+        fps1.select("doc_id").distinct().count()
+        == m0["docs_kept"] + m1["docs_kept"]
+    )

@@ -133,3 +133,67 @@ def test_moss_dedup_documents_end_to_end(spark):
     assert survivors == [0, 4, 5]
     got = obs.get
     assert got["rows_dropped"] == 0 and got["rows_total"] > 0
+
+
+def test_moss_dedup_incremental_fps_vs_text(spark, tmp_path):
+    """MOSS increment against a frozen corpus: a new doc sharing the old
+    passage drops outright, a new-new overlapping pair keeps the min id,
+    unrelated docs survive — and the persisted-fingerprint path
+    (``old_fps``) returns exactly the text-derived result while never
+    referencing the frozen corpus text (the overlap rule is evaluated on
+    fingerprints alone, like the SimHash family)."""
+    import pytest
+
+    from pyppi_spark.operators.dedup import winnow_fingerprints_kernel
+    from pyppi_spark.plans.training_set import moss_dedup_incremental
+
+    passage = (
+        "a very long shared passage that continues for quite a while and "
+        "dominates the fingerprint set of every document containing it "
+        "because the rest of each document is extremely short"
+    )
+    passage2 = (
+        "another lengthy excerpt that reappears nearly verbatim in two new "
+        "documents and therefore dominates both fingerprint sets entirely "
+        "since each document adds only a tiny distinct suffix"
+    )
+    old = spark.createDataFrame(
+        [
+            (0, passage + " tail zero"),
+            (1, "an established corpus document about parquet readers"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (101, passage + " other small tail"),   # near dup of old 0 -> drop
+            (102, passage + " third tiny ending"),  # shares passage too -> drop
+            (103, passage2 + " first ending"),      # new-new pair: keep min
+            (104, passage2 + " second ending"),     #   -> drop (rep = 103)
+            (105, "entirely unrelated text on garbage collector tuning for heaps"),
+        ],
+        "doc_id long, text string",
+    )
+    kw = dict(k=7, window=4, min_shared=5, min_overlap_frac=0.5,
+              max_bucket_size=100, hash_mode="portable")
+
+    texty = moss_dedup_incremental(new, old_docs=old, **kw)
+    ids_texty = sorted(r.doc_id for r in texty.select("doc_id").collect())
+    assert ids_texty == [103, 105]
+
+    # a previous run persists (id, fingerprint); the increment consumes it
+    fps_path = str(tmp_path / "winnow_fps")
+    winnow_fingerprints_kernel(
+        old, k=7, window=4, hash_mode="portable"
+    ).write.parquet(fps_path)
+    old_fps = spark.read.parquet(fps_path)
+
+    banded = moss_dedup_incremental(new, old_fps=old_fps, **kw)
+    ids_banded = sorted(r.doc_id for r in banded.select("doc_id").collect())
+    assert ids_banded == ids_texty
+
+    # exactly one of old_docs / old_fps
+    with pytest.raises(ValueError):
+        moss_dedup_incremental(new, old_docs=old, old_fps=old_fps, **kw)
+    with pytest.raises(ValueError):
+        moss_dedup_incremental(new, **kw)
