@@ -848,6 +848,28 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs (Abbas et al. 2023): k-means
+    cells (pinned as a pure function of the embeddings parquet —
+    train_centroids_from_file), then cosine compared ONLY within a cell —
+    pairwise work is Σ|cell|² instead of N², the candidate stage one
+    fixed-width equi self-join on the cell id (the 100 TB shape; the
+    cosine lives in a projection above the join). Oracle replays
+    assignment (crk=1, ties → cid DESC) and the within-cell pair scan
+    value-for-value."""
+    from pyppi_spark.operators.similarity import (
+        semantic_dedup_pairs, train_centroids_from_file,
+    )
+
+    cents = train_centroids_from_file(
+        f"{sf_dir}/embeddings.parquet", n_centroids=8, seed=42
+    )
+    emb = _embeddings(spark, sf_dir)
+    return semantic_dedup_pairs(
+        emb, cents, threshold=0.45, dim=EMBED_DIM, assign_strategy="blas"
+    ).select("a", "b", "cos_sim", F.col("cell").cast("long").alias("cell"))
+
+
 def q_ngram_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates verified by exact n-gram Jaccard, survivors
     after near-dedup. Value-oracled end-to-end: survivors are determined
@@ -1422,6 +1444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "align": q_align,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_pq": q_ann_ivf_pq,
+        "semdedup_pairs": q_semdedup_pairs,
         "ngram_near_dedup": q_ngram_near_dedup,
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
@@ -1674,6 +1697,47 @@ T AS (
   FROM P
 )
 SELECT query_id, neighbor_id, rk::BIGINT AS rk, cos_sim FROM T WHERE rk <= {k}
+"""
+
+
+def _semdedup_pairs_sql(sf_dir: str, n_centroids: int = 8, threshold: float = 0.45, seed: int = 42) -> str:
+    """DuckDB mirror of q_semdedup_pairs: centroids are the same pure
+    function of the embeddings parquet (train_centroids_from_file), inlined
+    as literals; assignment is crk=1 with ties → cid DESC (the engine's
+    reverse(array_sort) order), then the within-cell pair scan with the
+    raw-value threshold and 6dp-rounded emitted cosine."""
+    import numpy as np
+    from pyppi_spark.operators.similarity import train_centroids_from_file
+
+    cents = train_centroids_from_file(
+        f"{sf_dir}/embeddings.parquet", n_centroids=n_centroids, seed=seed
+    )
+    rows = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in c)}]::DOUBLE[], {float(np.linalg.norm(c))!r})"
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH C(cid, cv, cn) AS (VALUES {rows}),
+E AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n
+  FROM embeddings
+),
+S AS (
+  SELECT e.vec_id, e.v, e.n, c.cid,
+         list_dot_product(e.v, c.cv) / (e.n * c.cn) AS cs
+  FROM E e CROSS JOIN C c
+),
+R AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid DESC) AS crk
+  FROM S
+),
+A AS (SELECT vec_id, v, n, cid AS cell FROM R WHERE crk = 1)
+SELECT x.vec_id AS a, y.vec_id AS b,
+       round(list_dot_product(x.v, y.v) / (x.n * y.n), 6) AS cos_sim,
+       x.cell::BIGINT AS cell
+FROM A x JOIN A y ON x.cell = y.cell AND x.vec_id < y.vec_id
+WHERE list_dot_product(x.v, y.v) / (x.n * y.n) >= {threshold}
 """
 
 
@@ -2268,6 +2332,10 @@ FROM d GROUP BY user_id
         "ann_ivf_pq": _ann_ivf_pq_sql(
             os.environ.get("SF_DIR", "/root/testdata/sf0.01"),
             n_centroids=8, m=8, n_codes=16, n_probe=3, k=10, seed=42,
+        ),
+        "semdedup_pairs": _semdedup_pairs_sql(
+            os.environ.get("SF_DIR", "/root/testdata/sf0.01"),
+            n_centroids=8, threshold=0.45, seed=42,
         ),
         "stratified_sample": """
 SELECT event_type, event_id, user_id FROM (

@@ -76,6 +76,7 @@ HEADLINE = [
     "token_stats",
     "embed_dedup",
     "ann_ivf_pq",
+    "semdedup_pairs",
     "pack_sequences",
     "incremental_dedup",
     "corpus_report",

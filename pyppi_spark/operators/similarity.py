@@ -664,6 +664,102 @@ def embedding_neardup_pairs(
     )
 
 
+def semantic_dedup_pairs(
+    df: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    assign_strategy: str = "blas",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    arXiv:2303.09540): assign every vector to its nearest k-means
+    centroid by cosine, then compare pairs ONLY within a cluster —
+    (a, b, cos_sim, cell) for within-cluster cosine >= ``threshold``,
+    a < b. Unlike ``embedding_neardup_pairs`` (random-hyperplane LSH,
+    probabilistic recall) the cluster structure is DATA-adapted: semantic
+    duplicates concentrate in the same cell, and the miss mode is
+    documented (a pair straddling a cell boundary), not random.
+
+    100 TB shape: pairwise work is Σ|cell|² instead of N² — with
+    k ≈ N / target_cell_size the join stays linear-ish in N; the
+    candidate stage is one fixed-width equi self-join on the cell id
+    (AQE-skew-splittable, same family as LSH banding), the cosine lives
+    in a projection ABOVE the join, never in the join condition (the BNLJ
+    trap — see BENCH/BASELINE.md). Assignment crosses Arrow once per
+    vector via one dense matmul per batch (``assign_strategy='blas'``,
+    the >=~64-centroid path) or stays JVM-side with literal-centroid
+    folds (``'expr'``); both use the identical tie order (descending sim,
+    then descending centroid id), so results are strategy-independent.
+    Train centroids with ``train_centroids`` (Spark sample) or
+    ``train_centroids_from_file`` (oracle-pinnable pure function of the
+    parquet)."""
+    if dim is None:
+        raise ValueError("pass the embedding dim explicitly (e.g. dim=64)")
+    if assign_strategy == "blas":
+        assigned = _assign_cells_blas(df, "x", id_col, vec_col, centroids, 1)
+        assigned = assigned.select(
+            "x", "_v", "_n", F.element_at("_cells", 1).alias("_cell")
+        )
+    elif assign_strategy == "expr":
+        base = df.select(
+            F.col(id_col).alias("x"), _as_double(vec_col).alias("_v")
+        ).withColumn("_n", l2_norm(F.col("_v"), dim))
+        assigned = base.withColumn(
+            "_cell",
+            F.element_at(
+                _nearest_centroids_expr(F.col("_v"), centroids, 1, F.col("_n")), 1
+            ),
+        )
+    else:
+        raise ValueError(f"unknown assign_strategy {assign_strategy!r}")
+    a = assigned.select(
+        F.col("x").alias("a"), F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"), "_cell",
+    )
+    b = assigned.select(
+        F.col("x").alias("b"), F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"), "_cell",
+    )
+    return (
+        a.join(b, "_cell")
+        .where(F.col("a") < F.col("b"))
+        .withColumn(
+            "cos_sim",
+            _cos(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb"), dim),
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .select(
+            "a", "b", F.round("cos_sim", 6).alias("cos_sim"),
+            F.col("_cell").cast("int").alias("cell"),
+        )
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    assign_strategy: str = "blas",
+) -> DataFrame:
+    """SemDeDup end-to-end: within-cluster cosine pairs above
+    ``threshold`` → transitive connected-component survivors (min id per
+    component, the same representative rule as every other dedup family
+    in this engine — deterministic, unlike the paper's random keeper).
+    Returns the surviving rows of ``df`` (all columns)."""
+    from .dedup import near_dedup_representatives
+
+    pairs = semantic_dedup_pairs(
+        df, centroids, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        dim=dim, assign_strategy=assign_strategy,
+    )
+    return near_dedup_representatives(df, pairs.select("a", "b"), id_col=id_col)
+
+
 # ------------------------------------------------------------------ PQ
 
 def train_pq(

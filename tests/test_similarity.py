@@ -297,3 +297,44 @@ def test_ivf_pq_index_partition_pruning(spark, tmp_path):
     assert got.sort_values(key).reset_index(drop=True).equals(
         mem.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_semantic_dedup_planted_and_strategies(spark, vecs):
+    """SemDeDup: planted near-identical vectors (30..34 ~ 0..4) land in
+    the same k-means cell and pair above threshold; survivors keep the
+    min id per component; blas and expr assignment agree exactly; the
+    candidate join is an equi join on the cell id (no BNLJ)."""
+    from pyppi_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+        train_centroids,
+    )
+
+    cents = train_centroids(vecs, n_centroids=4, sample_rows=40, seed=1)
+    p_blas = semantic_dedup_pairs(
+        vecs, cents, threshold=0.99, dim=DIM, assign_strategy="blas"
+    )
+    p_expr = semantic_dedup_pairs(
+        vecs, cents, threshold=0.99, dim=DIM, assign_strategy="expr"
+    )
+    rows_b = sorted((r.a, r.b, r.cos_sim, r.cell) for r in p_blas.collect())
+    rows_e = sorted((r.a, r.b, r.cos_sim, r.cell) for r in p_expr.collect())
+    assert rows_b == rows_e
+    # the 5 planted pairs are recalled (perturbation 0.01 ⇒ cos ≈ 1, and
+    # a near-identical twin cannot straddle a cell boundary)
+    planted = {(i, i + 30) for i in range(5)}
+    got = {(a, b) for a, b, _, _ in rows_b}
+    assert planted <= got
+    surv = semantic_dedup(vecs, cents, threshold=0.99, dim=DIM)
+    ids = sorted(r.vec_id for r in surv.select("vec_id").collect())
+    assert set(ids).isdisjoint({a + 30 for a, b in planted if (a, a + 30) in got})
+    assert {0, 1, 2, 3, 4} <= set(ids)
+    # physical shape: equi join on the cell key, never a nested loop
+    plan = p_blas._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # unknown strategy fails loudly
+    with pytest.raises(ValueError):
+        semantic_dedup_pairs(vecs, cents, threshold=0.9, dim=DIM, assign_strategy="x")
+    with pytest.raises(ValueError):
+        semantic_dedup_pairs(vecs, cents, threshold=0.9)
