@@ -6,6 +6,7 @@ from .sessions import (
     streaming_session_aggregates,
     streaming_turn_counts,
 )
+from .dedup import incremental_dedup_batch, streaming_incremental_dedup
 
 __all__ = [
     "running_state_batch",
@@ -14,4 +15,6 @@ __all__ = [
     "streaming_running_state",
     "streaming_session_aggregates",
     "streaming_turn_counts",
+    "incremental_dedup_batch",
+    "streaming_incremental_dedup",
 ]
