@@ -1407,6 +1407,57 @@ def q_pipe_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "piped")
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr audit view (Lee et al. 2021): maximal duplicated
+    16-token spans per document — every length-16 window of the span
+    occurs >= 2 times corpus-wide, overlapping hits merged. One
+    hash-aggregate on the (gram hash, gram length) key + a per-document
+    island window; portable md5-prefix hash for oracle parity."""
+    from pyppi_spark.operators.span_dedup import duplicate_spans
+
+    docs = _documents(spark, sf_dir)
+    out = duplicate_spans(docs, k=16, hash_mode="portable")
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        "n_grams",
+    )
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr CUT (Lee et al. 2021): every duplicated 16-token
+    passage removed from the corpus in token space, keeping exactly the
+    globally-first occurrence of each duplicated gram. The sixth dedup
+    family's mutating form — text_clean + tokens-removed accounting."""
+    from pyppi_spark.operators.span_dedup import exact_substring_dedup
+
+    docs = _documents(spark, sf_dir)
+    out = exact_substring_dedup(docs, k=16, hash_mode="portable")
+    return out.select("doc_id", "text_clean", "n_tokens_removed")
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style corpus-global line dedup over a derived
+    multi-line view (documents re-lined at 8 tokens/line — the corpus
+    ships single-line texts): any >= 8-char line occurring twice
+    corpus-wide survives only at its first (doc_id, line_idx)
+    occurrence. Exercises explode -> keeper hash-agg -> ordered
+    re-assembly end-to-end."""
+    from pyppi_spark.operators.span_dedup import WS_CLASS, line_dedup
+
+    docs = _documents(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), WS_CLASS)
+    n_lines = F.ceil(F.size(toks) / F.lit(8)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * F.lit(8) + 1, 8)),
+    )
+    ml = docs.select("doc_id", F.concat_ws("\n", lines).alias("text"))
+    out = line_dedup(ml, min_line_chars=8, hash_mode="portable")
+    return out.select("doc_id", "text_clean", "n_lines_dropped")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pit_features": q_pit_features,
@@ -1471,6 +1522,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "incremental_dedup": q_incremental_dedup,
         "corpus_report": q_corpus_report,
+        "span_dedup": q_span_dedup,
+        "substring_dedup": q_substring_dedup,
+        "line_dedup": q_line_dedup,
     }
 
 
@@ -2736,4 +2790,123 @@ SELECT doc_id,
 FROM documents
 """,
         "dataset_split": _dataset_split_sql(),
+        # ExactSubstr audit: duplicated 16-token spans, md5-prefix gram
+        # keys mirroring the Spark portable hash exactly (collisions,
+        # if any, merge identically in both engines)
+        "span_dedup": rf"""
+WITH T AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), '[ \t\n\r\f\x0B]+') AS toks
+  FROM documents
+), G AS (
+  SELECT doc_id, u.i AS pos, array_to_string(toks[u.i+1 : u.i+16], ' ') AS gram
+  FROM T, unnest(range(0, len(toks) - 15)) AS u(i)
+), K AS (
+  SELECT doc_id, pos, {_H32.format(x="gram")} AS g, length(gram) AS gl FROM G
+), C AS (
+  SELECT g, gl FROM K GROUP BY g, gl HAVING count(*) >= 2
+), O AS (
+  SELECT K.doc_id, K.pos FROM K JOIN C USING (g, gl)
+), M AS (
+  SELECT doc_id, pos, pos + 16 AS e,
+         max(pos + 16) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM O
+), I AS (
+  SELECT doc_id, pos, e,
+         sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM M
+)
+SELECT doc_id, min(pos)::BIGINT AS span_start, max(e)::BIGINT AS span_end,
+       count(*)::BIGINT AS n_grams
+FROM I GROUP BY doc_id, isl
+""",
+        # ExactSubstr cut: keep the globally-first occurrence of each
+        # duplicated gram, cut every other occurrence in token space
+        "substring_dedup": rf"""
+WITH T AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), '[ \t\n\r\f\x0B]+') AS toks
+  FROM documents
+), G AS (
+  SELECT doc_id, u.i AS pos, array_to_string(toks[u.i+1 : u.i+16], ' ') AS gram
+  FROM T, unnest(range(0, len(toks) - 15)) AS u(i)
+), K AS (
+  SELECT doc_id, pos, {_H32.format(x="gram")} AS g, length(gram) AS gl FROM G
+), R AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY g, gl) AS c,
+         row_number() OVER (PARTITION BY g, gl ORDER BY doc_id, pos) AS rn
+  FROM K
+), O AS (
+  SELECT doc_id, pos FROM R WHERE c >= 2 AND rn > 1
+), M AS (
+  SELECT doc_id, pos, pos + 16 AS e,
+         max(pos + 16) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM O
+), I AS (
+  SELECT doc_id, pos, e,
+         sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM M
+), SP AS (
+  SELECT doc_id, min(pos) AS span_start, max(e) AS span_end
+  FROM I GROUP BY doc_id, isl
+), TOK AS (
+  SELECT doc_id, u.i AS pos, toks[u.i+1] AS token
+  FROM T, unnest(range(0, len(toks))) AS u(i)
+), KEPT AS (
+  SELECT t.doc_id, t.pos, t.token
+  FROM TOK t LEFT JOIN SP s
+    ON t.doc_id = s.doc_id AND t.pos >= s.span_start AND t.pos < s.span_end
+  WHERE s.doc_id IS NULL
+), RE AS (
+  SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS tc FROM KEPT GROUP BY doc_id
+), REM AS (
+  SELECT doc_id, sum(span_end - span_start)::BIGINT AS nrem FROM SP GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN rem.doc_id IS NULL THEN d.text
+            ELSE coalesce(re.tc, '') END AS text_clean,
+       coalesce(rem.nrem, 0)::BIGINT AS n_tokens_removed
+FROM documents d
+LEFT JOIN RE re ON d.doc_id = re.doc_id
+LEFT JOIN REM rem ON d.doc_id = rem.doc_id
+""",
+        # C4-style line dedup over the derived 8-token-line view
+        "line_dedup": rf"""
+WITH T AS (
+  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r\f\x0B]+') AS toks
+  FROM documents
+), L AS (
+  SELECT doc_id, u.i AS line_idx,
+         array_to_string(toks[u.i*8+1 : u.i*8+8], ' ') AS line
+  FROM T, unnest(range(0, (len(toks)+7)//8)) AS u(i)
+), R AS (
+  SELECT doc_id, line_idx,
+         row_number() OVER (PARTITION BY {_H32.format(x="line")}, length(line)
+                            ORDER BY doc_id, line_idx) AS rn
+  FROM L WHERE length(line) >= 8
+), DROPPED AS (
+  SELECT doc_id, line_idx FROM R WHERE rn > 1
+), KEPT AS (
+  SELECT l.doc_id, l.line_idx, l.line
+  FROM L l LEFT JOIN DROPPED x
+    ON l.doc_id = x.doc_id AND l.line_idx = x.line_idx
+  WHERE x.doc_id IS NULL
+), RE AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY line_idx) AS text_clean,
+         count(*) AS nk
+  FROM KEPT GROUP BY doc_id
+), NL AS (
+  SELECT doc_id, (len(toks)+7)//8 AS n FROM T
+)
+SELECT nl.doc_id, coalesce(re.text_clean, '') AS text_clean,
+       (nl.n - coalesce(re.nk, 0))::BIGINT AS n_lines_dropped
+FROM NL nl LEFT JOIN RE re ON nl.doc_id = re.doc_id
+""",
     }

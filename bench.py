@@ -80,6 +80,9 @@ HEADLINE = [
     "pack_sequences",
     "incremental_dedup",
     "corpus_report",
+    "span_dedup",
+    "substring_dedup",
+    "line_dedup",
 ]
 
 
