@@ -1458,6 +1458,50 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text_clean", "n_lines_dropped")
 
 
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram-LM quality score: per-doc mean token surprisal
+    against the corpus's own unigram distribution, log2 quantized to whole
+    bits via the exact integer identity floor(log2(n)) = length(bin(n))-1
+    so the score is pure int64 arithmetic + one exact int-ratio double —
+    bitwise portable to the DuckDB oracle (no libm log in either engine).
+    Reference analog: corpus-derived propensity tables re-applied to each
+    row (interfacePeriphery.py frequency scoring)."""
+    from pyppi_spark.operators.quality_lm import unigram_surprisal
+
+    docs = _documents(spark, sf_dir)
+    return unigram_surprisal(docs).select("doc_id", "n_tokens", "sum_bits", "mean_bits")
+
+
+MIX_BUDGETS = {"src1": 800, "src7": 500, "src12": 300}
+
+
+def q_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling: per-source BPE-token budgets, seeded
+    hash-order prefix selection (the data-mixture step of training-set
+    assembly). Weight = the engine's BPE pre-tokenizer count; prefix rule
+    keep-while-cum≤budget; unlisted sources dropped."""
+    from pyppi_spark.functions.text import bpe_token_count
+    from pyppi_spark.operators.sampling import mix_sample
+
+    docs = _documents(spark, sf_dir).withColumn("n_tok", bpe_token_count("text"))
+    out = mix_sample(
+        docs, "source", MIX_BUDGETS, weight_col="n_tok", id_col="doc_id", seed=11
+    )
+    return out.select("doc_id", "source", "n_tok", "cum_weight")
+
+
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle: seeded shard in [0,8) plus a
+    dense intra-shard position from an independent second hash draw —
+    reading shards in position order replays one seeded permutation of
+    the corpus; shard membership is stable under corpus growth."""
+    from pyppi_spark.operators.sampling import shard_assign
+
+    docs = _documents(spark, sf_dir)
+    out = shard_assign(docs, n_shards=8, id_col="doc_id", seed=5)
+    return out.select("doc_id", "shard", "pos")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pit_features": q_pit_features,
@@ -1525,6 +1569,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "substring_dedup": q_substring_dedup,
         "line_dedup": q_line_dedup,
+        "unigram_surprisal": q_unigram_surprisal,
+        "mix_sample": q_mix_sample,
+        "shard_assign": q_shard_assign,
     }
 
 
@@ -2908,5 +2955,52 @@ WITH T AS (
 SELECT nl.doc_id, coalesce(re.text_clean, '') AS text_clean,
        (nl.n - coalesce(re.nk, 0))::BIGINT AS n_lines_dropped
 FROM NL nl LEFT JOIN RE re ON nl.doc_id = re.doc_id
+""",
+        # floor(log2(n)) = length(bin(n)) - 1 exactly in BOTH engines, so
+        # per-occurrence bits = length(bin(total)) - length(bin(tf)) is pure
+        # int64; mean_bits is an exact int ratio in IEEE double (raw emit)
+        "unigram_surprisal": f"""
+WITH T AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+), DT AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS n FROM T GROUP BY doc_id, tok
+), TF AS (
+  SELECT tok, sum(n)::BIGINT AS tf FROM DT GROUP BY tok
+), TOT AS (SELECT sum(tf)::BIGINT AS total FROM TF)
+SELECT dt.doc_id,
+       sum(dt.n)::BIGINT AS n_tokens,
+       sum(dt.n * (length(bin(t.total)) - length(bin(tf.tf))))::BIGINT AS sum_bits,
+       sum(dt.n * (length(bin(t.total)) - length(bin(tf.tf))))::DOUBLE
+         / sum(dt.n)::DOUBLE AS mean_bits
+FROM DT dt JOIN TF tf USING (tok) CROSS JOIN TOT t
+GROUP BY dt.doc_id
+""",
+        "mix_sample": rf"""
+WITH W AS (
+  SELECT doc_id, source,
+         coalesce(len(regexp_extract_all(text, '{_BPE_PAT}')), 0)::BIGINT AS n_tok
+  FROM documents
+  WHERE source IN ({", ".join(f"'{s}'" for s in MIX_BUDGETS)})
+), C AS (
+  SELECT doc_id, source, n_tok,
+         sum(n_tok) OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5('11|' || doc_id::VARCHAR), 1, 8))::BIGINT, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         )::BIGINT AS cum_weight
+  FROM W
+)
+SELECT doc_id, source, n_tok, cum_weight FROM C
+WHERE cum_weight <= CASE source {" ".join(f"WHEN '{s}' THEN {b}" for s, b in MIX_BUDGETS.items())} END
+""",
+        "shard_assign": """
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY hp, doc_id)::BIGINT AS pos
+FROM (
+  SELECT doc_id,
+         (('0x' || substr(md5('5|' || doc_id::VARCHAR), 1, 8))::BIGINT % 8)::BIGINT AS shard,
+         ('0x' || substr(md5('6|' || doc_id::VARCHAR), 1, 8))::BIGINT AS hp
+  FROM documents
+)
 """,
     }

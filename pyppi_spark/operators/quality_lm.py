@@ -1,0 +1,125 @@
+"""Corpus-level unigram language-model quality scoring — the CCNet-style
+perplexity screen of an LLM training pipeline: estimate a unigram LM from
+the corpus itself, then score every document by its mean per-token
+surprisal.  High surprisal = gibberish / non-language / OCR noise; very
+low surprisal = boilerplate loops.  Both tails get cut before training.
+
+Reference analog: the corpus-derived per-residue propensity tables the
+reference builds in one pass and then re-applies to every structure
+(``/root/reference/pyPPI/surfaceComplementarity/interfacePeriphery.py``
+builds frequency tables, then scores rows against them) — here the
+"table" is the corpus token-frequency distribution.
+
+Cross-engine portability: surprisal uses ``log2`` QUANTIZED TO WHOLE BITS
+via the exact integer identity ``floor(log2(n)) == length(bin(n)) - 1``
+(`bin` renders the same minimal binary string in Spark and DuckDB), so a
+token occurrence costs ``floor(log2(total)) - floor(log2(tf))`` bits —
+pure int64 arithmetic, zero float, bitwise-identical in any engine.  The
+quantization is within ±1 bit of the real ``log2(total/tf)``; for a
+relative quality RANKING (the only thing the filter consumes) that is
+ample, and it buys an exact SQL oracle.  A production variant can swap in
+``F.log2`` unchanged.
+
+Plan shape (the same explode + two hash-agg topology as TF-IDF):
+scan → explode tokens → partial+final count by (doc, tok) → vocab agg by
+tok → join back on tok → final agg by doc.  Every aggregation is
+map-side-partial; the vocab table is millions of rows at 100 TB (Heaps'
+law), far smaller than the corpus, and can be broadcast
+(``broadcast_vocab=True``) to remove the tok-keyed shuffle entirely.
+Stop-token skew ("the" appears everywhere) sits in an equi JOIN — which
+AQE skew-split handles — not in a window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _norm_tokens(text_col: str) -> F.Column:
+    """Whitespace tokens of the lowercased, space-collapsed text — the
+    repo-wide normalization (empty text yields the single '' token, the
+    established empty-gram convention; it scores like any vocab entry)."""
+    return F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+
+
+def unigram_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus unigram table: one row per token with its corpus occurrence
+    count ``tf``.  Exposed separately so an incremental pipeline can
+    persist it and merge increments by summation instead of re-reading
+    frozen text (the same persisted-artifact pattern as
+    ``dedup.content_keys`` / ``minhash_bands``)."""
+    toks = docs.select(F.explode(_norm_tokens(text_col)).alias("tok"))
+    return toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def unigram_surprisal(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab: DataFrame | None = None,
+    broadcast_vocab: bool = False,
+) -> DataFrame:
+    """Score every document against the corpus unigram LM.
+
+    Returns one row per document: ``n_tokens`` (int64 occurrences),
+    ``sum_bits`` (int64 total quantized surprisal), ``mean_bits``
+    (``sum_bits / n_tokens`` as a raw double — an exact int ratio, so
+    IEEE division makes it bitwise engine-portable without rounding).
+
+    ``vocab`` lets the caller supply a persisted/merged ``unigram_counts``
+    table (incremental corpora, or a reference LM from a held-out clean
+    corpus — the actual CCNet setup).  When scoring against a FOREIGN
+    vocab, tokens absent from it get the out-of-vocabulary floor tf=1
+    (max surprisal), so the score is total, not partial.
+
+    ``broadcast_vocab=True`` broadcasts the token-frequency table into
+    the per-doc join — removes the tok shuffle when the vocabulary fits
+    in executor memory (it usually does: vocab grows ~O(corpus^0.5))."""
+    doc_toks = (
+        docs.select(F.col(id_col), F.explode(_norm_tokens(text_col)).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    own_vocab = vocab is None
+    if own_vocab:
+        # derive the LM from doc_toks itself (one extra small agg) so the
+        # corpus text is exploded exactly once
+        vocab = doc_toks.groupBy("tok").agg(F.sum("n").alias("tf"))
+    total_df = vocab.agg(F.sum("tf").cast("long").alias("_total"))
+    rhs = F.broadcast(vocab) if broadcast_vocab else vocab
+    joined = doc_toks.join(rhs, "tok", "left" if not own_vocab else "inner")
+    # floor(log2(n)) == length(bin(n)) - 1, exact in both engines; OOV → tf=1
+    tf = F.coalesce(F.col("tf"), F.lit(1)).cast("long")
+    bits = F.length(F.bin(F.col("_total"))) - F.length(F.bin(tf))
+    per_doc = (
+        joined.crossJoin(F.broadcast(total_df))
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            F.sum(F.col("n") * bits).cast("long").alias("sum_bits"),
+        )
+    )
+    return per_doc.withColumn(
+        "mean_bits",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("sum_bits").cast("double") / F.col("n_tokens").cast("double"),
+        ),
+    )
+
+
+def surprisal_band_filter(
+    scored: DataFrame,
+    low_bits: float,
+    high_bits: float,
+) -> DataFrame:
+    """Keep the mid-band: drop boilerplate (``mean_bits < low_bits``) and
+    gibberish (``> high_bits``).  A pure filter over ``unigram_surprisal``
+    output — split out so the thresholds can come from corpus quantiles
+    computed once on the scored table (``percentile_approx``) rather than
+    being hard-coded."""
+    return scored.where(
+        (F.col("mean_bits") >= F.lit(low_bits)) & (F.col("mean_bits") <= F.lit(high_bits))
+    )

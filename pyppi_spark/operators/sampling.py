@@ -118,3 +118,153 @@ def dataset_split(
     last = F.lit(names[-1])
     out = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, out)
+
+
+def mix_sample(
+    df: DataFrame,
+    domain_col: str,
+    budgets: dict[str, int],
+    weight_col: str,
+    id_col: str,
+    seed: int = 42,
+    hash_mode: str = "portable",
+    cum_col: str = "cum_weight",
+    prefilter_margin: float | None = None,
+) -> DataFrame:
+    """Domain-mixture resampling under per-domain token budgets — the
+    data-mixture step of LLM training-set assembly (weight web down,
+    books/code up): within each domain, rank documents by seeded id-hash
+    and keep the prefix whose running ``weight_col`` total stays within
+    that domain's budget.  Domains absent from ``budgets`` are dropped
+    (the output IS the specified mixture).  The kept set is a pure
+    function of (seed, ids, weights): stable across runs, partitionings,
+    and cluster sizes, and — because hash order ignores arrival order —
+    approximately stable under corpus growth (a new doc displaces at most
+    the budget-boundary docs of its own domain).
+
+    Prefix rule: keep while inclusive cumulative weight ≤ budget.  The
+    first over-budget doc and everything after it are dropped — no
+    best-fit backfill, so the rule is one window expression and the SQL
+    oracle mirrors it verbatim.  ``cum_col`` is emitted for audit.
+
+    Scale: the exact path is ONE window per domain (hash-partitioned by
+    ``domain_col``).  Window partitions are not AQE-skew-splittable, so a
+    giant domain (web is ~90% of a raw crawl) makes one straggler sorting
+    rows it will mostly discard.  ``prefilter_margin`` (e.g. 3.0) enables
+    the two-pass escape: pass 1 aggregates per-domain total weight (tiny,
+    map-side partial), then rows are prefiltered to the hash prefix whose
+    EXPECTED weight is ``margin × budget`` before the exact window runs —
+    the window input shrinks from O(domain) to O(budget).  The prefix
+    property guarantees the prefiltered result equals the exact result
+    WHEN the prefilter retains every doc up to the budget boundary; that
+    invariant is verified per domain (did the surviving prefix either
+    exhaust the domain or cross the budget?) and a shortfall raises
+    rather than silently under-sampling — raise the margin.
+    """
+    for d, b in budgets.items():
+        if not (isinstance(b, int) and b > 0):
+            raise ValueError(f"budget for {d!r} must be a positive int, got {b!r}")
+    if not budgets:
+        raise ValueError("budgets must be non-empty")
+    h = _keyed_hash(id_col, seed, hash_mode)
+    budget_expr = None
+    for d, b in budgets.items():
+        cond = F.col(domain_col) == F.lit(d)
+        budget_expr = (
+            F.when(cond, F.lit(b)) if budget_expr is None else budget_expr.when(cond, F.lit(b))
+        )
+    base = df.where(F.col(domain_col).isin(list(budgets))).withColumn("_h", h)
+
+    if prefilter_margin is not None:
+        if prefilter_margin <= 1.0:
+            raise ValueError("prefilter_margin must be > 1")
+        totals = base.groupBy(domain_col).agg(
+            F.sum(weight_col).cast("long").alias("_dom_total")
+        )
+        # hash cutoff: the fraction of the 2^32 hash space whose expected
+        # weight is margin × budget (capped at the whole domain)
+        frac = F.least(
+            F.lit(1.0),
+            F.lit(float(prefilter_margin)) * budget_expr.cast("double")
+            / F.greatest(F.col("_dom_total"), F.lit(1)).cast("double"),
+        )
+        cutoffs = totals.withColumn("_cut", (frac * F.lit(float(1 << 32))).cast("long"))
+        base = base.join(F.broadcast(cutoffs), domain_col).where(
+            F.col("_h") <= F.col("_cut")
+        )
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(F.col("_h").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = base.withColumn(cum_col, F.sum(weight_col).over(w).cast("long")).withColumn(
+        "_budget", budget_expr
+    )
+    if prefilter_margin is not None:
+        # prefix-safety check: within the prefiltered set, each domain must
+        # either cross its budget or have kept its entire (cutoff-bounded)
+        # population that could ever be selected — otherwise the margin was
+        # too tight and the exact prefix is not fully contained.
+        # start from `cutoffs` (one row per budgeted domain with data) so a
+        # domain whose ENTIRE population fell outside the hash cutoff still
+        # gets audited — its absence from `ranked` is the worst shortfall.
+        got = ranked.groupBy(domain_col).agg(F.max(cum_col).alias("_max_cum"))
+        audit = (
+            cutoffs.join(got, domain_col, "left")
+            .withColumn("_mc", F.coalesce(F.col("_max_cum"), F.lit(0)))
+            .where((F.col("_mc") < budget_expr) & (F.col("_mc") < F.col("_dom_total")))
+            .select(domain_col)
+            .collect()  # bounded: ≤ one row per budgeted domain
+        )
+        if audit:
+            bad = sorted(r[0] for r in audit)
+            raise ValueError(
+                f"mix_sample prefilter_margin={prefilter_margin} too tight for "
+                f"domains {bad}: surviving hash prefix neither crossed the "
+                "budget nor exhausted the domain; raise the margin"
+            )
+    drop = ["_h", "_budget"] + (["_cut", "_dom_total"] if prefilter_margin is not None else [])
+    return ranked.where(F.col(cum_col) <= F.col("_budget")).drop(*drop)
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str,
+    seed: int = 42,
+    hash_mode: str = "portable",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global training shuffle: assign every row a shard in
+    ``[0, n_shards)`` and a dense position within its shard, such that
+    reading shards 0..n-1 each in position order replays one seeded
+    pseudorandom permutation of the corpus — the shuffled-shard layout
+    every epoch-based trainer consumes.  Shard membership is a pure
+    function of (seed, id): stable under corpus growth (new rows append
+    into shards without moving old rows' shards — only positions after an
+    insertion point shift, and only inside one shard).
+
+    Two independent hash draws (seed and seed+1 produce disjoint key
+    strings under the ``seed|id`` scheme) decide shard and intra-shard
+    order, so position within a shard is uncorrelated with the shard
+    choice itself.  ``pmod(h, n)`` over the 32-bit hash leaves a ≤
+    n/2^32 occupancy bias — negligible for any real shard count.
+
+    Scale: one shuffle (window partitioned by shard).  Pick ``n_shards``
+    ≥ cluster parallelism; each shard's window sorts corpus/n rows
+    (spillable).  For extreme corpora the dense position can instead be
+    composed with the hash-sharded parallel prefix-sum trick used by
+    ``packing.pack_sequences`` — the ordering key here is already the
+    hash, so positions are rank-of-hash within shard."""
+    if not (isinstance(n_shards, int) and n_shards > 0):
+        raise ValueError(f"n_shards must be a positive int, got {n_shards!r}")
+    h_shard = _keyed_hash(id_col, seed, hash_mode)
+    h_pos = _keyed_hash(id_col, seed + 1, hash_mode)
+    w = Window.partitionBy(shard_col).orderBy(F.col("_hp").asc(), F.col(id_col).asc())
+    return (
+        df.withColumn(shard_col, F.pmod(h_shard, F.lit(n_shards)).cast("long"))
+        .withColumn("_hp", h_pos)
+        .withColumn(pos_col, F.row_number().over(w).cast("long"))
+        .drop("_hp")
+    )
