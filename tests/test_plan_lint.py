@@ -23,6 +23,8 @@ BNLJ_ALLOWED = {
     "similarity_topk",
     # 1-row corpus-size scalar cross join for the IDF denominator
     "top_tokens",
+    # 1-row corpus-total-token-count scalar cross join (quality_lm)
+    "unigram_surprisal",
 }
 
 ZERO_SHUFFLE = {
