@@ -1502,6 +1502,62 @@ def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "shard", "pos")
 
 
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail quality tiers: per-source rank-tertiles of
+    unigram-LM mean surprisal. Rank buckets (ntile over a total order),
+    not interpolated value quantiles — integer-exact and engine-portable
+    (see quality_lm.rank_buckets)."""
+    from pyppi_spark.operators.quality_lm import rank_buckets, unigram_surprisal
+
+    docs = _documents(spark, sf_dir)
+    scored = unigram_surprisal(docs).join(docs.select("doc_id", "source"), "doc_id")
+    out = rank_buckets(scored, "source", "mean_bits")
+    return out.select("doc_id", "source", "mean_bits", "bucket")
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination audit: near-duplicate pairs (LSH
+    candidates verified by exact trigram Jaccard >= 0.8) that STRADDLE the
+    deterministic train/val/test split — each row is a leak a trainer must
+    resolve before calling the eval set clean. Composition of
+    dataset_split + the near-dedup pair machinery; pair volume is
+    LSH-bounded, never all-pairs."""
+    from pyppi_spark.operators import minhash_lsh_candidates, minhash_signatures
+    from pyppi_spark.operators.dedup import ngram_jaccard_pairs
+    from pyppi_spark.operators.sampling import dataset_split
+
+    docs = _documents(spark, sf_dir)
+    split = dataset_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, id_col="doc_id", seed=42
+    ).select("doc_id", "split")
+    sigs = minhash_signatures(docs)
+    cands = minhash_lsh_candidates(sigs, bands=32, rows_per_band=2).localCheckpoint()
+    pairs = ngram_jaccard_pairs(docs, cands, threshold=0.8)
+    out = (
+        pairs.join(
+            split.select(F.col("doc_id").alias("a"), F.col("split").alias("split_a")), "a"
+        )
+        .join(
+            split.select(F.col("doc_id").alias("b"), F.col("split").alias("split_b")), "b"
+        )
+        .where(F.col("split_a") != F.col("split_b"))
+    )
+    return out.select(
+        "a", "b", "split_a", "split_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier score: cosine of every vector to its own
+    label-group centroid (low = mislabeled/off-topic/junk). One narrow-row
+    aggregation for the centroids, broadcast back, JVM fold cosine."""
+    from pyppi_spark.operators.similarity import centroid_scores
+
+    emb = _embeddings(spark, sf_dir)
+    out = centroid_scores(emb)
+    return out.select("vec_id", "label", F.round("cos_centroid", 6).alias("cos_centroid"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pit_features": q_pit_features,
@@ -1572,6 +1628,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_surprisal": q_unigram_surprisal,
         "mix_sample": q_mix_sample,
         "shard_assign": q_shard_assign,
+        "perplexity_buckets": q_perplexity_buckets,
+        "split_leakage": q_split_leakage,
+        "embed_outliers": q_embed_outliers,
     }
 
 
@@ -3002,5 +3061,82 @@ FROM (
          ('0x' || substr(md5('6|' || doc_id::VARCHAR), 1, 8))::BIGINT AS hp
   FROM documents
 )
+""",
+        # rank tertiles (ntile) over the exact int-ratio surprisal score —
+        # integer-exact bucket membership, no interpolated-cutoff ulp flap
+        "perplexity_buckets": f"""
+WITH T AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+), DT AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS n FROM T GROUP BY doc_id, tok
+), TF AS (
+  SELECT tok, sum(n)::BIGINT AS tf FROM DT GROUP BY tok
+), TOT AS (SELECT sum(tf)::BIGINT AS total FROM TF
+), SC AS (
+  SELECT dt.doc_id,
+         sum(dt.n * (length(bin(t.total)) - length(bin(tf.tf))))::DOUBLE
+           / sum(dt.n)::DOUBLE AS mean_bits
+  FROM DT dt JOIN TF tf USING (tok) CROSS JOIN TOT t
+  GROUP BY dt.doc_id
+), B AS (
+  SELECT s.doc_id, d.source, s.mean_bits,
+         ntile(3) OVER (PARTITION BY d.source
+                        ORDER BY s.mean_bits ASC, s.doc_id ASC) AS nt
+  FROM SC s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, source, mean_bits,
+       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM B
+""",
+        # brute-force exact-Jaccard pairs (the LSH stage only prunes
+        # candidates the verify stage would reject — same guarantee the
+        # green ngram_near_dedup oracle rests on) x the md5 split banding
+        "split_leakage": r"""
+WITH W AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws FROM documents
+), S AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         ELSE list_distinct(list_transform(generate_series(1, len(ws)-2),
+                            i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))
+    END AS sh
+  FROM W
+), P AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         len(list_intersect(x.sh, y.sh))::DOUBLE
+           / len(list_distinct(x.sh || y.sh))::DOUBLE AS jac
+  FROM S x JOIN S y ON x.doc_id < y.doc_id
+), SP AS (
+  SELECT doc_id,
+    CASE WHEN ('0x' || substr(md5('42|' || doc_id::VARCHAR), 1, 8))::BIGINT < 3435973836
+         THEN 'train'
+         WHEN ('0x' || substr(md5('42|' || doc_id::VARCHAR), 1, 8))::BIGINT < 3865470566
+         THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents
+)
+SELECT p.a, p.b, sa.split AS split_a, sb.split AS split_b,
+       round(p.jac, 6) AS jaccard
+FROM P p
+JOIN SP sa ON p.a = sa.doc_id
+JOIN SP sb ON p.b = sb.doc_id
+WHERE p.jac >= 0.8 AND sa.split <> sb.split
+""",
+        "embed_outliers": f"""
+WITH E AS (
+  SELECT label, g.i AS pos, embedding[g.i]::DOUBLE AS v
+  FROM embeddings, generate_series(1, {EMBED_DIM}) AS g(i)
+), C AS (
+  SELECT label, pos, avg(v) AS c FROM E GROUP BY label, pos
+), CV AS (
+  SELECT label, list(c ORDER BY pos) AS cent FROM C GROUP BY label
+)
+SELECT e.vec_id, e.label,
+       round(
+         list_dot_product(list_transform(e.embedding, x -> x::DOUBLE), cv.cent)
+         / (sqrt(list_dot_product(list_transform(e.embedding, x -> x::DOUBLE),
+                                  list_transform(e.embedding, x -> x::DOUBLE)))
+            * sqrt(list_dot_product(cv.cent, cv.cent))), 6) AS cos_centroid
+FROM embeddings e JOIN CV cv USING (label)
 """,
     }

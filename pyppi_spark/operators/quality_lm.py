@@ -32,7 +32,7 @@ AQE skew-split handles — not in a window.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _norm_tokens(text_col: str) -> F.Column:
@@ -123,3 +123,44 @@ def surprisal_band_filter(
     return scored.where(
         (F.col("mean_bits") >= F.lit(low_bits)) & (F.col("mean_bits") <= F.lit(high_bits))
     )
+
+
+def rank_buckets(
+    scored: DataFrame,
+    group_col: str,
+    score_col: str,
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    id_col: str = "doc_id",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """CCNet-style per-group quality buckets: within each group (language /
+    source), rank documents by score ascending and cut into ``len(labels)``
+    equal-count tiers — head = most fluent third, tail = the third that
+    gets dropped or down-weighted before training.
+
+    RANK tertiles (``ntile``), not VALUE quantiles, deliberately: an
+    interpolated percentile cutoff is a derived float, and a document whose
+    score sits within an ulp of the cutoff flips buckets between engines —
+    rank order over ``(score, id)`` is total and integer-exact, so bucket
+    membership is deterministic and the SQL oracle mirrors it verbatim.
+    ``ntile`` spreads the remainder into the leading buckets in both Spark
+    and DuckDB (standard SQL semantics).
+
+    Scale: one window per group, partitioned by ``group_col``. Window
+    partitions are not AQE-skew-splittable, so one giant group (web ≈ 90%
+    of a raw crawl) becomes a single spillable sort straggler — for that
+    regime compute approximate cutoffs per group first
+    (``percentile_approx`` is map-side partial) and bucket by comparison
+    instead; this exact form is for the per-language corpora CCNet
+    actually buckets, where the largest group is a manageable share."""
+    n = len(labels)
+    if n < 2:
+        raise ValueError("need at least 2 bucket labels")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc()
+    )
+    nt = F.ntile(n).over(w)
+    expr = F.when(nt == 1, F.lit(labels[0]))
+    for i, lab in enumerate(labels[1:], start=2):
+        expr = expr.when(nt == i, F.lit(lab))
+    return scored.withColumn(bucket_col, expr)

@@ -1198,3 +1198,44 @@ def read_ivf_pq_index(spark, path: str) -> DataFrame:
     ``ivf_pq_topk``."""
     df = spark.read.parquet(path)
     return df.withColumn("cell", F.col("cell").cast("int"))
+
+
+def centroid_scores(
+    emb: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    score_col: str = "cos_centroid",
+) -> DataFrame:
+    """Embedding-space outlier scoring: per-group mean vector (centroid),
+    then every vector's cosine to its OWN group's centroid. Low score =
+    the vector sits far from its cluster — mislabeled, off-topic, or
+    junk; the embedding-side quality screen that complements the text-side
+    surprisal filter (and the per-cluster geometry SemDeDup thresholds on).
+
+    Plan shape: ``posexplode`` to (group, dim, value) narrow rows →
+    ONE map-side-partial hash aggregation to (group, dim) means — the only
+    shuffle, and it moves groups × dim rows, not the corpus — → assemble
+    each centroid as an array (``array_sort`` on (pos, mean) structs keeps
+    dim order without a window) → **broadcast** the centroid table (groups
+    × dim × 8 bytes) back onto the vectors → JVM fold cosine per row
+    (the measured-fast numeric-HOF path, see ``functions/vectors.py``).
+    No per-vector window, no self-join; scales to any corpus whose GROUP
+    COUNT × dim fits in a broadcast — millions of groups at dim 64.
+
+    The tiny ``transform`` extracting means from the sorted structs runs
+    interpreted over centroid rows only (groups, not vectors) — never on
+    the hot path."""
+    ex = emb.select(group_col, F.posexplode(F.col(vec_col)).alias("_pos", "_v"))
+    cent = (
+        ex.groupBy(group_col, "_pos")
+        .agg(F.avg(F.col("_v").cast("double")).alias("_c"))
+        .groupBy(group_col)
+        .agg(F.array_sort(F.collect_list(F.struct("_pos", "_c"))).alias("_pc"))
+        .select(group_col, F.transform("_pc", lambda s: s["_c"]).alias("_cent"))
+    )
+    scored = emb.join(F.broadcast(cent), group_col)
+    cos = dot(F.col(vec_col), F.col("_cent")) / (
+        l2_norm(F.col(vec_col)) * l2_norm(F.col("_cent"))
+    )
+    return scored.withColumn(score_col, cos).drop("_cent")

@@ -25,6 +25,7 @@ BNLJ_ALLOWED = {
     "top_tokens",
     # 1-row corpus-total-token-count scalar cross join (quality_lm)
     "unigram_surprisal",
+    "perplexity_buckets",
 }
 
 ZERO_SHUFFLE = {

@@ -1,0 +1,143 @@
+"""Round-6 operators: per-group rank buckets (perplexity tiers),
+split-leakage audit, embedding centroid outlier scores."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from pyppi_spark.operators.quality_lm import rank_buckets
+from pyppi_spark.operators.similarity import centroid_scores
+
+
+# ------------------------------------------------------------ rank_buckets
+
+def _scored(spark):
+    rows = [
+        # group g1: 7 docs, scores 10..70 — ntile(3) sizes 3/2/2
+        *[(i, "g1", float(i * 10)) for i in range(1, 8)],
+        # group g2: 3 docs — one per bucket
+        (8, "g2", 5.0), (9, "g2", 6.0), (10, "g2", 7.0),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, source string, score double")
+
+
+def test_rank_buckets_sizes_and_order(spark):
+    out = rank_buckets(_scored(spark), "source", "score").collect()
+    by_id = {r.doc_id: r.bucket for r in out}
+    # g1: lowest 3 scores head, next 2 middle, last 2 tail (ntile remainder
+    # goes to the leading buckets)
+    assert [by_id[i] for i in range(1, 8)] == [
+        "head", "head", "head", "middle", "middle", "tail", "tail"
+    ]
+    assert (by_id[8], by_id[9], by_id[10]) == ("head", "middle", "tail")
+
+
+def test_rank_buckets_deterministic_across_parallelism(spark):
+    df = _scored(spark)
+    a = sorted(map(tuple, rank_buckets(df, "source", "score").collect()))
+    b = sorted(map(tuple, rank_buckets(df.repartition(7), "source", "score").collect()))
+    assert a == b
+
+
+def test_rank_buckets_tie_broken_by_id(spark):
+    rows = [(i, "g", 1.0) for i in range(1, 7)]  # all scores tie
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = {r.doc_id: r.bucket for r in rank_buckets(df, "source", "score").collect()}
+    assert [out[i] for i in range(1, 7)] == [
+        "head", "head", "middle", "middle", "tail", "tail"
+    ]
+
+
+def test_rank_buckets_rejects_single_label(spark):
+    with pytest.raises(ValueError):
+        rank_buckets(_scored(spark), "source", "score", labels=("only",))
+
+
+# --------------------------------------------------------- centroid_scores
+
+def test_centroid_scores_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    vecs = {lab: rng.normal(size=(5, 8)).astype(np.float32) for lab in (0, 1)}
+    rows = [
+        (lab * 10 + i, [float(x) for x in v], lab)
+        for lab, m in vecs.items()
+        for i, v in enumerate(m)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r.vec_id: r.cos_centroid for r in centroid_scores(df).collect()}
+    for lab, m in vecs.items():
+        cent = m.astype(np.float64).mean(axis=0)
+        for i, v in enumerate(m):
+            v64 = v.astype(np.float64)
+            want = float(v64 @ cent / (np.linalg.norm(v64) * np.linalg.norm(cent)))
+            assert got[lab * 10 + i] == pytest.approx(want, abs=1e-9)
+
+
+def test_centroid_scores_outlier_ranks_lowest(spark):
+    base = [1.0, 0.0, 0.0, 0.0]
+    rows = [(i, base, 0) for i in range(4)] + [(99, [0.0, 1.0, 0.0, 0.0], 0)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = centroid_scores(df).collect()
+    lowest = min(out, key=lambda r: r.cos_centroid)
+    assert lowest.vec_id == 99
+
+
+def test_centroid_scores_deterministic_across_parallelism(spark):
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=6)], int(i % 3)) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    a = {r.vec_id: r.cos_centroid for r in centroid_scores(df).collect()}
+    b = {r.vec_id: r.cos_centroid for r in centroid_scores(df.repartition(8)).collect()}
+    # same partial-agg tree either way at this size; exact equality expected
+    for k in a:
+        assert a[k] == pytest.approx(b[k], abs=1e-12)
+
+
+# ----------------------------------------------------------- split_leakage
+
+def test_split_leakage_detects_planted_cross_split_dup(spark, tmp_path):
+    """End-to-end over the driver query: plant two near-identical docs whose
+    seeded split assignments differ, plus an identical pair landing in the
+    SAME split — only the straddling pair is reported."""
+    import __spark_entry__ as e
+    from pyppi_spark.operators.sampling import dataset_split
+
+    text_a = "the quick brown fox jumps over the lazy dog again and again today"
+    filler = [
+        (100 + i, f"unique filler document number {i} with its own words {i * 7}")
+        for i in range(60)
+    ]
+    base = spark.createDataFrame(
+        [(1, text_a), (2, text_a + " extra"), *filler], "doc_id long, text string"
+    )
+    split = {
+        r.doc_id: r.split
+        for r in dataset_split(
+            base, {"train": 0.8, "val": 0.1, "test": 0.1}, id_col="doc_id", seed=42
+        ).collect()
+    }
+    # find a filler id in a DIFFERENT split from doc 1 and clone doc 1's text
+    # onto it; find one in the SAME split and clone there too
+    other = next(i for i, _ in filler if split[i] != split[1])
+    same = next(i for i, _ in filler if split[i] == split[1])
+    rows = [(1, text_a), (other, text_a + " extra"), (same, text_a + " more")] + [
+        (i, t) for i, t in filler if i not in (other, same)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumns(
+        {"lang": F.lit("en"), "source": F.lit("s"), "n_chars": F.length("text")}
+    )
+    p = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.parquet(p, mode="overwrite")
+    out = e.q_split_leakage(spark, str(tmp_path)).collect()
+    pairs = {(r.a, r.b) for r in out}
+    assert (min(1, other), max(1, other)) in pairs
+    # the same-split near-dup pair must NOT be reported
+    assert (min(1, same), max(1, same)) not in pairs
+    for r in out:
+        assert r.split_a != r.split_b
+        assert r.jaccard >= 0.8
