@@ -83,6 +83,12 @@ HEADLINE = [
     "span_dedup",
     "substring_dedup",
     "line_dedup",
+    "unigram_surprisal",
+    "perplexity_buckets",
+    "mix_sample",
+    "shard_assign",
+    "split_leakage",
+    "embed_outliers",
 ]
 
 
