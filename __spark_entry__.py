@@ -1558,6 +1558,37 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "label", F.round("cos_centroid", 6).alias("cos_centroid"))
 
 
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM with stupid backoff, whole-bit quantized (pure int64 —
+    see quality_lm.bigram_surprisal): the stronger quality screen that
+    catches token salad a unigram LM scores as fluent."""
+    from pyppi_spark.operators.quality_lm import bigram_surprisal
+
+    docs = _documents(spark, sf_dir)
+    return bigram_surprisal(docs).select("doc_id", "n_tokens", "sum_bits", "mean_bits")
+
+
+QUALITY_BUDGETS = {"head": 600, "middle": 300}
+
+
+def q_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality→mixture composition: CCNet per-source surprisal tiers,
+    then token-budget resampling PER TIER (head gets 2× the middle budget,
+    tail dropped) — the end-to-end 'filter by quality, then rebalance'
+    step of training-set assembly, built from rank_buckets + mix_sample
+    with the surprisal token count reused as the mixture weight."""
+    from pyppi_spark.operators.quality_lm import rank_buckets, unigram_surprisal
+    from pyppi_spark.operators.sampling import mix_sample
+
+    docs = _documents(spark, sf_dir)
+    scored = unigram_surprisal(docs).join(docs.select("doc_id", "source"), "doc_id")
+    tiers = rank_buckets(scored, "source", "mean_bits")
+    out = mix_sample(
+        tiers, "bucket", QUALITY_BUDGETS, weight_col="n_tokens", id_col="doc_id", seed=13
+    )
+    return out.select("doc_id", "source", "bucket", "n_tokens", "cum_weight")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pit_features": q_pit_features,
@@ -1631,6 +1662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": q_perplexity_buckets,
         "split_leakage": q_split_leakage,
         "embed_outliers": q_embed_outliers,
+        "bigram_surprisal": q_bigram_surprisal,
+        "quality_mix": q_quality_mix,
     }
 
 
@@ -3138,5 +3171,80 @@ SELECT e.vec_id, e.label,
                                   list_transform(e.embedding, x -> x::DOUBLE)))
             * sqrt(list_dot_product(cv.cent, cv.cent))), 6) AS cos_centroid
 FROM embeddings e JOIN CV cv USING (label)
+""",
+        # stupid-backoff bigram LM, same whole-bit integer quantization:
+        # seen bigram costs bits(cf)-bits(bf); unseen backs off to the
+        # unigram cost + 3 bits; document-initial token is unigram-scored
+        "bigram_surprisal": f"""
+WITH W AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents
+), G AS (
+  SELECT doc_id, s.pos AS pos, s.w1 AS w1, s.w2 AS w2
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(ws)), i ->
+             {{'pos': i, 'w2': ws[i],
+               'w1': CASE WHEN i > 1 THEN ws[i-1] END}})) AS s
+    FROM W
+  )
+), BF AS (
+  SELECT w1, w2, count(*)::BIGINT AS bf FROM G WHERE w1 IS NOT NULL GROUP BY w1, w2
+), CF AS (
+  SELECT w1, count(*)::BIGINT AS cf FROM G WHERE w1 IS NOT NULL GROUP BY w1
+), UNI AS (
+  SELECT w2, count(*)::BIGINT AS tf FROM G GROUP BY w2
+), TOT AS (SELECT sum(tf)::BIGINT AS total FROM UNI
+), J AS (
+  SELECT g.doc_id,
+         CASE WHEN g.w1 IS NULL THEN length(bin(t.total)) - length(bin(u.tf))
+              WHEN bf.bf IS NOT NULL THEN length(bin(cf.cf)) - length(bin(bf.bf))
+              ELSE length(bin(t.total)) - length(bin(u.tf)) + 3 END AS bits
+  FROM G g
+  LEFT JOIN BF bf ON g.w1 = bf.w1 AND g.w2 = bf.w2
+  LEFT JOIN CF cf ON g.w1 = cf.w1
+  JOIN UNI u ON g.w2 = u.w2
+  CROSS JOIN TOT t
+)
+SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(bits)::BIGINT AS sum_bits,
+       sum(bits)::DOUBLE / count(*)::DOUBLE AS mean_bits
+FROM J GROUP BY doc_id
+""",
+        # quality→mixture composition: surprisal tiers per source, then
+        # the hash-order token-budget prefix per TIER (tail dropped)
+        "quality_mix": f"""
+WITH T AS (
+  SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+), DT AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS n FROM T GROUP BY doc_id, tok
+), TF AS (
+  SELECT tok, sum(n)::BIGINT AS tf FROM DT GROUP BY tok
+), TOT AS (SELECT sum(tf)::BIGINT AS total FROM TF
+), SC AS (
+  SELECT dt.doc_id,
+         sum(dt.n)::BIGINT AS n_tokens,
+         sum(dt.n * (length(bin(t.total)) - length(bin(tf.tf))))::DOUBLE
+           / sum(dt.n)::DOUBLE AS mean_bits
+  FROM DT dt JOIN TF tf USING (tok) CROSS JOIN TOT t
+  GROUP BY dt.doc_id
+), B AS (
+  SELECT s.doc_id, d.source, s.n_tokens,
+         ntile(3) OVER (PARTITION BY d.source
+                        ORDER BY s.mean_bits ASC, s.doc_id ASC) AS nt
+  FROM SC s JOIN documents d USING (doc_id)
+), L AS (
+  SELECT doc_id, source, n_tokens,
+         CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+  FROM B
+), C AS (
+  SELECT doc_id, source, bucket, n_tokens,
+         sum(n_tokens) OVER (
+           PARTITION BY bucket
+           ORDER BY ('0x' || substr(md5('13|' || doc_id::VARCHAR), 1, 8))::BIGINT, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         )::BIGINT AS cum_weight
+  FROM L WHERE bucket IN ('head', 'middle')
+)
+SELECT doc_id, source, bucket, n_tokens, cum_weight FROM C
+WHERE cum_weight <= CASE bucket WHEN 'head' THEN 600 ELSE 300 END
 """,
     }

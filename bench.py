@@ -89,6 +89,8 @@ HEADLINE = [
     "shard_assign",
     "split_leakage",
     "embed_outliers",
+    "bigram_surprisal",
+    "quality_mix",
 ]
 
 

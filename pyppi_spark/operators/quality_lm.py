@@ -164,3 +164,68 @@ def rank_buckets(
     for i, lab in enumerate(labels[1:], start=2):
         expr = expr.when(nt == i, F.lit(lab))
     return scored.withColumn(bucket_col, expr)
+
+
+def bigram_surprisal(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    backoff_bits: int = 3,
+) -> DataFrame:
+    """Bigram LM with stupid backoff (Brants et al. 2007), scored in the
+    same exact whole-bit quantization as ``unigram_surprisal`` — the
+    stronger quality screen: token-salad documents look fine to a unigram
+    LM (every word common) but light up under a bigram LM (no common word
+    PAIRS).
+
+    Cost model, all integer: a seen bigram (w1, w2) costs
+    ``floor(log2(count(w1 ·))) − floor(log2(count(w1 w2)))`` bits; an
+    unseen bigram backs off to the token's unigram cost plus a flat
+    ``backoff_bits`` penalty (stupid backoff's fixed discount — 3 bits ≈
+    the canonical 0.4 multiplier, log2(1/0.4) ≈ 1.3, rounded up to stay
+    conservative about unseen continuations). Each document's FIRST token
+    has no left context and is scored by its unigram cost alone. Again:
+    ranking is what the filter consumes; whole-bit quantization keeps the
+    whole score int64 and bitwise engine-portable.
+
+    Plan shape: tokens with position (one ``posexplode``) → ``lag`` window
+    per document builds the bigram rows (the one per-doc window; a giant
+    document is one spillable sort straggler — same regime note as every
+    per-doc window in the repo) → corpus bigram/context count tables (two
+    map-side-partial hash aggs, vocab²-bounded but Heaps-law small in
+    practice) → two equi joins back (the skewed stop-bigram keys sit in
+    joins, which AQE skew-split handles) → per-doc agg.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(_norm_tokens(text_col)).alias("_pos", "_w2"),
+    )
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    grams = toks.withColumn("_w1", F.lag("_w2").over(w))
+    # corpus tables: bigram counts and left-context counts share one scan
+    big = grams.where(F.col("_w1").isNotNull())
+    bf = big.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_bf"))
+    cf = big.groupBy("_w1").agg(F.count(F.lit(1)).alias("_cf"))
+    uni = grams.groupBy("_w2").agg(F.count(F.lit(1)).alias("_tf"))
+    total_df = uni.agg(F.sum("_tf").cast("long").alias("_total"))
+    j = (
+        grams.join(bf, ["_w1", "_w2"], "left")
+        .join(cf, "_w1", "left")
+        .join(uni, "_w2")
+        .crossJoin(F.broadcast(total_df))
+    )
+    uni_bits = F.length(F.bin(F.col("_total"))) - F.length(F.bin(F.col("_tf")))
+    big_bits = F.length(F.bin(F.col("_cf"))) - F.length(F.bin(F.col("_bf")))
+    bits = (
+        F.when(F.col("_w1").isNull(), uni_bits)  # document-initial token
+        .when(F.col("_bf").isNotNull(), big_bits)
+        .otherwise(uni_bits + F.lit(backoff_bits))
+    )
+    per_doc = j.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(bits).cast("long").alias("sum_bits"),
+    )
+    return per_doc.withColumn(
+        "mean_bits",
+        F.col("sum_bits").cast("double") / F.col("n_tokens").cast("double"),
+    )

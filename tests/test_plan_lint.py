@@ -26,6 +26,8 @@ BNLJ_ALLOWED = {
     # 1-row corpus-total-token-count scalar cross join (quality_lm)
     "unigram_surprisal",
     "perplexity_buckets",
+    "bigram_surprisal",
+    "quality_mix",
 }
 
 ZERO_SHUFFLE = {

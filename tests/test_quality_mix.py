@@ -137,3 +137,99 @@ def test_shard_assign_partition_and_positions(spark):
     assert all(new[k] == v for k, v in old.items())
     with pytest.raises(ValueError, match="n_shards"):
         shard_assign(df, 0, "doc_id")
+
+
+# --------------------------------------------------------- bigram LM
+
+def _bigram_ref(texts: dict[int, str], backoff_bits: int = 3):
+    """Independent python reference of quality_lm.bigram_surprisal."""
+    import re
+    from collections import Counter
+
+    toks = {
+        d: re.sub(r"\s+", " ", t.strip().lower()).split(" ") for d, t in texts.items()
+    }
+    uni, bf, cf = Counter(), Counter(), Counter()
+    for ws in toks.values():
+        uni.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            bf[(a, b)] += 1
+            cf[a] += 1
+    total = sum(uni.values())
+    bits_of = lambda n: n.bit_length() - 1  # floor(log2(n))
+    out = {}
+    for d, ws in toks.items():
+        s = 0
+        for i, w in enumerate(ws):
+            if i == 0:
+                s += bits_of(total) - bits_of(uni[w])
+            elif (ws[i - 1], w) in bf:
+                s += bits_of(cf[ws[i - 1]]) - bits_of(bf[(ws[i - 1], w)])
+            else:
+                s += bits_of(total) - bits_of(uni[w]) + backoff_bits
+        out[d] = (len(ws), s)
+    return out
+
+
+def test_bigram_surprisal_matches_reference(spark):
+    from pyppi_spark.operators.quality_lm import bigram_surprisal
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat sat on the mat",
+        3: "mat the on sat cat the",   # token salad: same unigrams, novel bigrams
+        4: "the cat ran to the mat",
+        5: "",
+        6: "one",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r.doc_id: r for r in bigram_surprisal(df).collect()}
+    want = _bigram_ref(texts)
+    assert set(got) == set(want)
+    for d, (n, s) in want.items():
+        assert (got[d].n_tokens, got[d].sum_bits) == (n, s), d
+        assert got[d].mean_bits == s / n
+
+
+def test_bigram_catches_token_salad_unigram_misses(spark):
+    from pyppi_spark.operators.quality_lm import bigram_surprisal, unigram_surprisal
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat sat on the mat",
+        3: "mat the on sat cat the",
+        4: "the cat sat on the mat",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    u = {r.doc_id: r.mean_bits for r in unigram_surprisal(df).collect()}
+    b = {r.doc_id: r.mean_bits for r in bigram_surprisal(df).collect()}
+    # same bag of words -> unigram LM cannot separate doc 3 from doc 1
+    assert u[3] == u[1]
+    # bigram LM charges the novel word pairs
+    assert b[3] > b[1]
+
+
+def test_bigram_deterministic_across_parallelism(spark):
+    from pyppi_spark.operators.quality_lm import bigram_surprisal
+
+    rows = [(i, f"alpha beta gamma delta {i % 5} common tail phrase") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, bigram_surprisal(df).collect()))
+    b = sorted(map(tuple, bigram_surprisal(df.repartition(11)).collect()))
+    assert a == b
+
+
+def test_quality_mix_budgets_respected(spark, tmp_path):
+    import __spark_entry__ as e
+
+    out = e.q_quality_mix(spark, "/root/testdata/sf0.001").collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    assert set(by_bucket) <= {"head", "middle"}  # tail always dropped
+    for bucket, rows in by_bucket.items():
+        budget = e.QUALITY_BUDGETS[bucket]
+        assert max(r.cum_weight for r in rows) <= budget
+        # prefix rule: cum_weight of the kept set is dense from the smallest
+        total = sum(r.n_tokens for r in rows)
+        assert max(r.cum_weight for r in rows) == total

@@ -83,8 +83,9 @@ def main() -> None:
         "`tests/test_plan_lint.py`: **zero row-at-a-time `BatchEvalPython`**",
         "anywhere, and `BroadcastNestedLoopJoin` only on the explicit",
         "allowlist of provably-tiny broadcast sides (`similarity_topk`: the",
-        "5-row query set of the brute-force baseline; `top_tokens`,",
-        "`unigram_surprisal`, `perplexity_buckets`: a 1-row corpus-size /",
+        "5-row query set of the brute-force baseline; `top_tokens` and the",
+        "quality_lm family (`unigram_surprisal`, `perplexity_buckets`,",
+        "`bigram_surprisal`, `quality_mix`): a 1-row corpus-size /",
         "total-token-count scalar). Everywhere else expensive predicates",
         "live in projections/filters above joins, never in a BNLJ",
         "condition — see BENCH/BASELINE.md kernel A/B.",
