@@ -35,7 +35,14 @@ def observation_metrics(observation: Observation) -> dict | None:
     empty-output corner and void the no-silent-caps guarantee."""
     try:
         return dict(observation.get)
-    except (AssertionError, IndexError, KeyError, ValueError):
+    except (AssertionError, IndexError, KeyError, ValueError) as exc:
+        # PySparkAssertionError subclasses AssertionError, and its
+        # NO_OBSERVE_BEFORE_GET case means the Observation was NEVER
+        # attached to a DataFrame — a broken accounting pipeline, not the
+        # benign AQE empty-elision corner; mapping it to None would void
+        # the no-silent-caps guarantee
+        if "NO_OBSERVE_BEFORE_GET" in str(exc):
+            raise
         # GenericRow [] fails the toPyRow assertion / empty-row lookup,
         # depending on the Spark version
         return None

@@ -233,18 +233,26 @@ def _cap_band_buckets(
     """Shared hot-bucket defense: census on the join keys (rides the
     exchange the downstream join needs), 'error' fails with the size,
     'skip' drops oversized buckets with optional Observation accounting.
-    An ``observation`` is only meaningful with ``hot_bucket='skip'`` —
-    'error' mode never drops rows, and silently ignoring the caller's
-    Observation would leave it forever unattached (``observation.get``
-    then blocks waiting for an action that will never come), so that
-    combination raises."""
-    if observation is not None and max_bucket_size is not None and hot_bucket == "error":
+    An ``observation`` is only meaningful with ``hot_bucket='skip'`` AND a
+    cap actually set — 'error' mode never drops rows, and with
+    ``max_bucket_size=None`` there is no cap to account for; silently
+    ignoring the caller's Observation would leave it forever unattached
+    (``observation.get`` then raises NO_OBSERVE_BEFORE_GET, which
+    ``observation_metrics`` deliberately re-raises rather than mapping to
+    the benign None), so both combinations raise here, at the cause."""
+    if observation is not None and hot_bucket == "error" and max_bucket_size is not None:
         raise ValueError(
             f"{op_name}: observation accounting requires hot_bucket='skip' "
             "(error mode never drops rows; the Observation would never be "
-            "attached to a DataFrame and its .get would block forever)"
+            "attached to a DataFrame)"
         )
     if max_bucket_size is None:
+        if observation is not None:
+            raise ValueError(
+                f"{op_name}: observation accounting requires max_bucket_size "
+                "to be set (no cap, nothing to account; the Observation "
+                "would never be attached to a DataFrame)"
+            )
         return banded
     bsz = F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_hash"))
     banded = banded.withColumn("_bsz", bsz)
@@ -994,6 +1002,12 @@ def _simhash_banded(
             "_tbl_idx", "_key"
         ),
     )
+    if max_bucket_size is None and observation is not None:
+        raise ValueError(
+            "simhash candidates: observation accounting requires "
+            "max_bucket_size to be set (no cap, nothing to account; the "
+            "Observation would never be attached to a DataFrame)"
+        )
     if max_bucket_size is not None:
         bsz = F.count(F.lit(1)).over(Window.partitionBy("_tbl_idx", "_key"))
         banded = banded.withColumn("_bsz", bsz)
@@ -1236,6 +1250,12 @@ def winnow_candidate_pairs(
     rows (``rows_dropped`` / ``rows_total``) instead of dropping them
     silently — a production run should report its recall trade."""
     fp = fingerprints.select(F.col(id_col), F.col("fingerprint"))
+    if max_bucket_size is None and observation is not None:
+        raise ValueError(
+            "winnow_candidate_pairs: observation accounting requires "
+            "max_bucket_size to be set (no cap, nothing to account; the "
+            "Observation would never be attached to a DataFrame)"
+        )
     if max_bucket_size is not None:
         bsz = F.count(F.lit(1)).over(Window.partitionBy("fingerprint"))
         fp = fp.withColumn("_bsz", bsz)
@@ -1296,6 +1316,12 @@ def winnow_candidate_pairs_incremental(
     themselves, so with a persisted old-fingerprint table the frozen
     corpus text is never read at all."""
     fp = fingerprints.select(F.col(id_col), F.col("fingerprint"), F.col("_new"))
+    if max_bucket_size is None and observation is not None:
+        raise ValueError(
+            "winnow_candidate_pairs_incremental: observation accounting "
+            "requires max_bucket_size to be set (no cap, nothing to account; "
+            "the Observation would never be attached to a DataFrame)"
+        )
     if max_bucket_size is not None:
         bsz = F.count(F.lit(1)).over(Window.partitionBy("fingerprint"))
         fp = fp.withColumn("_bsz", bsz)

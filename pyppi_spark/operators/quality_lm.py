@@ -171,6 +171,7 @@ def bigram_surprisal(
     text_col: str = "text",
     id_col: str = "doc_id",
     backoff_bits: int = 3,
+    lm_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Bigram LM with stupid backoff (Brants et al. 2007), scored in the
     same exact whole-bit quantization as ``unigram_surprisal`` — the
@@ -188,6 +189,14 @@ def bigram_surprisal(
     ranking is what the filter consumes; whole-bit quantization keeps the
     whole score int64 and bitwise engine-portable.
 
+    SELF-TRAINED (``lm_docs=None``) the LM has seen every bigram it
+    scores, so the backoff branch never fires and relative ranking comes
+    from count ratios alone; pass ``lm_docs`` (a held-out clean corpus or
+    the frozen reference corpus — the actual CCNet setup) to score against
+    a foreign LM, where unseen bigrams genuinely back off and
+    out-of-vocabulary tokens take the tf=1 max-surprisal floor, exactly
+    like ``unigram_surprisal(vocab=...)``.
+
     Plan shape: tokens with position (one ``posexplode``) → ``lag`` window
     per document builds the bigram rows (the one per-doc window; a giant
     document is one spillable sort straggler — same regime note as every
@@ -196,25 +205,32 @@ def bigram_surprisal(
     practice) → two equi joins back (the skewed stop-bigram keys sit in
     joins, which AQE skew-split handles) → per-doc agg.
     """
-    toks = docs.select(
-        F.col(id_col),
-        F.posexplode(_norm_tokens(text_col)).alias("_pos", "_w2"),
-    )
-    w = Window.partitionBy(id_col).orderBy("_pos")
-    grams = toks.withColumn("_w1", F.lag("_w2").over(w))
-    # corpus tables: bigram counts and left-context counts share one scan
-    big = grams.where(F.col("_w1").isNotNull())
+    def gram_rows(d: DataFrame) -> DataFrame:
+        t = d.select(
+            F.col(id_col), F.posexplode(_norm_tokens(text_col)).alias("_pos", "_w2")
+        )
+        w = Window.partitionBy(id_col).orderBy("_pos")
+        return t.withColumn("_w1", F.lag("_w2").over(w))
+
+    grams = gram_rows(docs)
+    # LM tables: self-trained by default; ``lm_docs`` trains on a separate
+    # (held-out / frozen reference) corpus — the setup where the backoff
+    # path actually fires, since a self-trained LM has seen every bigram
+    # it scores. Bigram and left-context counts share one scan.
+    lm = grams if lm_docs is None else gram_rows(lm_docs)
+    big = lm.where(F.col("_w1").isNotNull())
     bf = big.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_bf"))
     cf = big.groupBy("_w1").agg(F.count(F.lit(1)).alias("_cf"))
-    uni = grams.groupBy("_w2").agg(F.count(F.lit(1)).alias("_tf"))
+    uni = lm.groupBy("_w2").agg(F.count(F.lit(1)).alias("_tf"))
     total_df = uni.agg(F.sum("_tf").cast("long").alias("_total"))
     j = (
         grams.join(bf, ["_w1", "_w2"], "left")
         .join(cf, "_w1", "left")
-        .join(uni, "_w2")
+        .join(uni, "_w2", "left")  # OOV token under a foreign LM → tf floor 1
         .crossJoin(F.broadcast(total_df))
     )
-    uni_bits = F.length(F.bin(F.col("_total"))) - F.length(F.bin(F.col("_tf")))
+    tf = F.coalesce(F.col("_tf"), F.lit(1)).cast("long")
+    uni_bits = F.length(F.bin(F.col("_total"))) - F.length(F.bin(tf))
     big_bits = F.length(F.bin(F.col("_cf"))) - F.length(F.bin(F.col("_bf")))
     bits = (
         F.when(F.col("_w1").isNull(), uni_bits)  # document-initial token

@@ -167,6 +167,11 @@ def mix_sample(
     if not budgets:
         raise ValueError("budgets must be non-empty")
     h = _keyed_hash(id_col, seed, hash_mode)
+    if hash_mode == "fast":
+        # map xxhash64's signed 64-bit output onto the same [0, 2^32) domain
+        # the prefilter cutoff below assumes (portable mode's md5-prefix is
+        # already 32-bit) — same normalization as dataset_split
+        h = F.pmod(h, F.lit(1 << 32))
     budget_expr = None
     for d, b in budgets.items():
         cond = F.col(domain_col) == F.lit(d)

@@ -1235,7 +1235,9 @@ def centroid_scores(
         .select(group_col, F.transform("_pc", lambda s: s["_c"]).alias("_cent"))
     )
     scored = emb.join(F.broadcast(cent), group_col)
-    cos = dot(F.col(vec_col), F.col("_cent")) / (
-        l2_norm(F.col(vec_col)) * l2_norm(F.col("_cent"))
-    )
+    denom = l2_norm(F.col(vec_col)) * l2_norm(F.col("_cent"))
+    # ANSI mode throws on division by zero: an all-zero vector (or a group
+    # whose mean is exactly the zero vector) gets a NULL score instead of
+    # failing the whole job
+    cos = F.when(denom != 0, dot(F.col(vec_col), F.col("_cent")) / denom)
     return scored.withColumn(score_col, cos).drop("_cent")

@@ -296,13 +296,17 @@ def line_dedup(
             ),
         ).alias("text_clean"),
         F.count(F.lit(1)).alias("_n_kept"),
-        F.max("line_idx").alias("_max_idx"),
     )
     out = df.join(rebuilt, id_col, "left")
     n_lines = F.size(F.split(F.col(text_col), "\n"))
     return (
         out.withColumn(
-            "text_clean", F.coalesce(F.col("text_clean"), F.lit(""))
+            # NULL text stays NULL (lossless for untouched documents, same
+            # contract as exact_substring_dedup); '' means every line of a
+            # real document was dropped
+            "text_clean",
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+            .otherwise(F.coalesce(F.col("text_clean"), F.lit(""))),
         )
         .withColumn(
             "n_lines_dropped",
@@ -310,5 +314,5 @@ def line_dedup(
             .otherwise(n_lines - F.coalesce(F.col("_n_kept"), F.lit(0)))
             .cast("long"),
         )
-        .drop("_n_kept", "_max_idx")
+        .drop("_n_kept")
     )

@@ -141,3 +141,123 @@ def test_split_leakage_detects_planted_cross_split_dup(spark, tmp_path):
     for r in out:
         assert r.split_a != r.split_b
         assert r.jaccard >= 0.8
+
+
+# ------------------------------------------------- review-fix regressions
+
+def test_centroid_scores_zero_vector_null_not_error(spark):
+    rows = [(1, [0.0, 0.0], 0), (2, [1.0, 0.0], 0)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r.vec_id: r.cos_centroid for r in centroid_scores(df).collect()}
+    assert got[1] is None  # ANSI divide-by-zero must not fail the job
+    assert got[2] is not None
+
+
+def test_line_dedup_preserves_null_text(spark):
+    from pyppi_spark.operators.span_dedup import line_dedup
+
+    rows = [(1, None), (2, "first line of real text\nsecond line here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in line_dedup(df, min_line_chars=8).collect()}
+    assert got[1].text_clean is None and got[1].n_lines_dropped == 0
+    assert got[2].text_clean == rows[1][1]
+
+
+def test_mix_sample_fast_hash_prefilter(spark):
+    """hash_mode='fast' must use the same [0, 2^32) domain the prefilter
+    cutoff assumes — and the prefiltered result must equal the exact one."""
+    from pyppi_spark.operators.sampling import mix_sample
+
+    rows = [(i, "d", 10) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, dom string, w long")
+    exact = sorted(
+        r.doc_id
+        for r in mix_sample(
+            df, "dom", {"d": 300}, weight_col="w", id_col="doc_id",
+            seed=3, hash_mode="fast",
+        ).collect()
+    )
+    pre = sorted(
+        r.doc_id
+        for r in mix_sample(
+            df, "dom", {"d": 300}, weight_col="w", id_col="doc_id",
+            seed=3, hash_mode="fast", prefilter_margin=4.0,
+        ).collect()
+    )
+    assert exact == pre and len(exact) == 30  # 300 budget / 10 weight
+
+
+def test_cap_observation_requires_cap(spark):
+    import pytest as _pytest
+    from pyspark.sql import Observation
+    from pyppi_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+        winnow_candidate_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g")], "doc_id long, text string"
+    )
+    sigs = minhash_signatures(docs)
+    with _pytest.raises(ValueError, match="max_bucket_size"):
+        minhash_lsh_candidates(
+            sigs, hot_bucket="skip", observation=Observation("o1")
+        )
+    fps = spark.createDataFrame([(1, 7), (2, 7)], "doc_id long, fingerprint long")
+    with _pytest.raises(ValueError, match="max_bucket_size"):
+        winnow_candidate_pairs(fps, observation=Observation("o2"))
+
+
+def test_observation_metrics_reraises_never_attached(spark):
+    import pytest as _pytest
+    from pyspark.sql import Observation
+    from pyppi_spark.metrics import observation_metrics
+
+    with _pytest.raises(Exception, match="NO_OBSERVE_BEFORE_GET"):
+        observation_metrics(Observation("never"))
+
+
+def test_bigram_foreign_lm_backoff_fires(spark):
+    """Against a foreign LM, unseen bigrams take the backoff path and OOV
+    tokens the tf=1 floor — verified against the python reference."""
+    from pyppi_spark.operators.quality_lm import bigram_surprisal
+
+    lm_texts = {10: "the cat sat on the mat", 11: "the dog sat on the rug"}
+    doc_texts = {1: "the cat sat", 2: "the mat sat", 3: "zyx qwv"}
+    lm_df = spark.createDataFrame(list(lm_texts.items()), "doc_id long, text string")
+    df = spark.createDataFrame(list(doc_texts.items()), "doc_id long, text string")
+
+    import re
+    from collections import Counter
+
+    toks = lambda t: re.sub(r"\s+", " ", t.strip().lower()).split(" ")
+    uni, bf, cf = Counter(), Counter(), Counter()
+    for t in lm_texts.values():
+        ws = toks(t)
+        uni.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            bf[(a, b)] += 1
+            cf[a] += 1
+    total = sum(uni.values())
+    bits_of = lambda n: n.bit_length() - 1
+    want = {}
+    for d, t in doc_texts.items():
+        ws, s = toks(t), 0
+        for i, w in enumerate(ws):
+            u = bits_of(total) - bits_of(uni.get(w, 1))
+            if i == 0:
+                s += u
+            elif (ws[i - 1], w) in bf:
+                s += bits_of(cf[ws[i - 1]]) - bits_of(bf[(ws[i - 1], w)])
+            else:
+                s += u + 3
+        want[d] = (len(ws), s)
+    got = {r.doc_id: r for r in bigram_surprisal(df, lm_docs=lm_df).collect()}
+    for d, (n, s) in want.items():
+        assert (got[d].n_tokens, got[d].sum_bits) == (n, s), d
+    # sanity: the backoff genuinely fires — "the mat" is an unseen bigram,
+    # so backoff_bits must change doc 2's score
+    alt = {r.doc_id: r.sum_bits for r in
+           bigram_surprisal(df, lm_docs=lm_df, backoff_bits=10).collect()}
+    assert alt[2] > got[2].sum_bits
