@@ -1589,6 +1589,27 @@ def q_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "bucket", "n_tokens", "cum_weight")
 
 
+DSIR_BUCKETS = 256
+DSIR_K = 150
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): score every document
+    by the whole-bit-quantized log ratio of hashed-n-gram likelihoods
+    under target (lang='en') vs raw LMs, then take the top-k in the
+    deterministic hash-tiebreak mode (the paper's top-k heuristic; the
+    Gumbel sampler is the production mode, pytest-verified vs numpy).
+    Pure int64 arithmetic end-to-end — fully value-oracled."""
+    from pyppi_spark.operators.dsir import dsir_scores, gumbel_topk
+
+    docs = _documents(spark, sf_dir)
+    scored = dsir_scores(
+        docs, docs.where(F.col("lang") == "en"), n_buckets=DSIR_BUCKETS
+    )
+    out = gumbel_topk(scored, k=DSIR_K, seed=42, noise="hash")
+    return out.select("doc_id", "n_grams", "sum_bits")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pit_features": q_pit_features,
@@ -1664,6 +1685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_outliers": q_embed_outliers,
         "bigram_surprisal": q_bigram_surprisal,
         "quality_mix": q_quality_mix,
+        "dsir_select": q_dsir_select,
     }
 
 
@@ -3246,5 +3268,45 @@ WITH T AS (
 )
 SELECT doc_id, source, bucket, n_tokens, cum_weight FROM C
 WHERE cum_weight <= CASE bucket WHEN 'head' THEN 600 ELSE 300 END
+""",
+        # DSIR: hashed uni+bigram bucket tables for target (lang='en') and
+        # raw corpora, whole-bit-quantized log importance ratio (pure
+        # int64), deterministic hash-tiebreak top-k
+        "dsir_select": f"""
+WITH W AS (
+  SELECT doc_id, lang, string_split({_NORM}, ' ') AS ws FROM documents
+), G AS (
+  SELECT doc_id, lang, unnest(
+    list_concat(ws, list_transform(generate_series(1, greatest(len(ws)-1, 0)),
+                                   i -> ws[i] || ' ' || ws[i+1]))) AS gram
+  FROM W
+), HB AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('0|' || gram), 1, 8))::BIGINT % {DSIR_BUCKETS} AS bucket
+  FROM G
+), DB AS (
+  SELECT doc_id, bucket, count(*)::BIGINT AS n FROM HB GROUP BY 1, 2
+), Q AS (SELECT bucket, sum(n)::BIGINT AS tfq FROM DB GROUP BY 1
+), P AS (SELECT bucket, count(*)::BIGINT AS tfp FROM HB WHERE lang = 'en' GROUP BY 1
+), TQ AS (SELECT sum(tfq)::BIGINT AS totq FROM Q
+), TP AS (SELECT sum(tfp)::BIGINT AS totp FROM P
+), SC AS (
+  SELECT db.doc_id,
+         sum(db.n)::BIGINT AS n_grams,
+         sum(db.n * ((length(bin(tq.totq)) - length(bin(q.tfq)))
+                   - (length(bin(tp.totp)) - length(bin(coalesce(p.tfp, 1))))))::BIGINT
+           AS sum_bits
+  FROM DB db
+  JOIN Q q USING (bucket)
+  LEFT JOIN P p USING (bucket)
+  CROSS JOIN TQ tq CROSS JOIN TP tp
+  GROUP BY db.doc_id
+)
+SELECT doc_id, n_grams, sum_bits
+FROM SC
+ORDER BY sum_bits DESC,
+         ('0x' || substr(md5('42|' || doc_id::VARCHAR), 1, 8))::BIGINT ASC,
+         doc_id ASC
+LIMIT {DSIR_K}
 """,
     }

@@ -28,6 +28,8 @@ BNLJ_ALLOWED = {
     "perplexity_buckets",
     "bigram_surprisal",
     "quality_mix",
+    # two 1-row LM-total scalar cross joins (dsir_scores)
+    "dsir_select",
 }
 
 ZERO_SHUFFLE = {
