@@ -1589,6 +1589,24 @@ def q_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source", "bucket", "n_tokens", "cum_weight")
 
 
+def q_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dedup: LSH candidates verified by exact trigram
+    Jaccard >= 0.8, connected components, and each cluster keeps its
+    LONGEST member (max n_chars, tie min doc_id) — the RefinedWeb
+    keep-the-longest rule, vs the content-blind min-id default. The pair
+    volume is LSH-bounded; the winner selection is two label-keyed aggs
+    over membership rows only."""
+    from pyppi_spark.operators import minhash_lsh_candidates, minhash_signatures
+    from pyppi_spark.operators.dedup import ngram_jaccard_pairs, near_dedup_representatives
+
+    docs = _documents(spark, sf_dir)
+    sigs = minhash_signatures(docs)
+    cands = minhash_lsh_candidates(sigs, bands=32, rows_per_band=2).localCheckpoint()
+    pairs = ngram_jaccard_pairs(docs, cands, threshold=0.8)
+    kept = near_dedup_representatives(docs, pairs, score_col="n_chars")
+    return kept.select("doc_id", "n_chars")
+
+
 DSIR_BUCKETS = 256
 DSIR_K = 150
 
@@ -1686,6 +1704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_surprisal": q_bigram_surprisal,
         "quality_mix": q_quality_mix,
         "dsir_select": q_dsir_select,
+        "quality_dedup": q_quality_dedup,
     }
 
 
@@ -3308,5 +3327,43 @@ ORDER BY sum_bits DESC,
          ('0x' || substr(md5('42|' || doc_id::VARCHAR), 1, 8))::BIGINT ASC,
          doc_id ASC
 LIMIT {DSIR_K}
+""",
+        # quality-aware near-dedup: brute-force exact-Jaccard pairs (the
+        # LSH stage only prunes candidates the verify stage would reject),
+        # recursive-CTE components, keep max n_chars / tie min doc_id
+        "quality_dedup": r"""
+WITH RECURSIVE W AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+  FROM documents
+), S AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         ELSE list_distinct(list_transform(generate_series(1, len(ws)-2),
+                            i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))
+    END AS sh
+  FROM W
+), P AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM S x JOIN S y ON x.doc_id < y.doc_id
+  WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
+          / len(list_distinct(x.sh || y.sh))::DOUBLE >= 0.8
+), NN AS (SELECT a AS n FROM P UNION SELECT b FROM P
+), E2 AS (SELECT a AS s, b AS d FROM P UNION SELECT b, a FROM P
+), R(n, l) AS (
+  SELECT n, n FROM NN
+  UNION
+  SELECT e2.d, r.l FROM R r JOIN E2 e2 ON r.n = e2.s
+), C AS (SELECT n, min(l) AS label FROM R GROUP BY n
+), M AS (SELECT c.n, c.label, d.n_chars FROM C c JOIN documents d ON c.n = d.doc_id
+), B AS (SELECT label, max(n_chars) AS best FROM M GROUP BY label
+), WIN AS (
+  SELECT m.label, min(m.n) AS winner
+  FROM M m JOIN B b ON m.label = b.label AND m.n_chars = b.best
+  GROUP BY m.label
+)
+SELECT d.doc_id, d.n_chars FROM documents d
+WHERE d.doc_id NOT IN (
+  SELECT m.n FROM M m JOIN WIN w ON m.label = w.label WHERE m.n <> w.winner
+)
 """,
     }

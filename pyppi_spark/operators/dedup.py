@@ -821,12 +821,24 @@ def near_dedup_representatives(
     max_iters: int = 25,
     algorithm: str = "auto",
     star_max_iters: int = 50,
+    score_col: str | None = None,
 ) -> DataFrame:
     """Pick survivors given near-dup pairs: each connected component of the
-    pair graph keeps exactly its min-id member (transitive closure — a
-    chain A≈B≈C keeps only A even though (A,C) is not an edge). The
-    reference analog is the ``insert ignore`` key-dedup closure
+    pair graph keeps exactly one member (transitive closure — a chain
+    A≈B≈C keeps one doc even though (A,C) is not an edge). The reference
+    analog is the ``insert ignore`` key-dedup closure
     (``/root/reference/pyPPI/sqls/createInterface.sql:7``).
+
+    By default the survivor is the component's min-id member (stable,
+    content-blind).  ``score_col`` (a column of ``df``) switches to
+    QUALITY-AWARE selection — keep the member with the highest score,
+    ties broken by min id — the rule real pipelines use (RefinedWeb keeps
+    the longest member; a quality-classifier pipeline keeps the
+    best-scored one).  NULL scores lose to any non-NULL score; a
+    component whose every member is NULL-scored keeps its min id.  Cost:
+    two label-keyed hash aggs over component membership rows (max score,
+    then min id among the maximal), sharing one exchange — component
+    membership is tiny relative to the corpus (only docs in ≥1 pair).
 
     ``max_iters``/``algorithm``/``star_max_iters`` pass through to
     ``near_dup_components`` — with the default ``algorithm="auto"`` a
@@ -835,15 +847,38 @@ def near_dedup_representatives(
 
     ``transitive=False`` restores the cheaper pair-loser rule (drop every
     doc appearing as the larger id of a pair) — exact only when clusters
-    are cliques."""
+    are cliques; incompatible with ``score_col`` (the pair-loser rule is
+    orientation-fixed and cannot honor scores)."""
+    if score_col is not None and not transitive:
+        raise ValueError("score_col requires transitive=True")
     if transitive:
         comp = near_dup_components(
             dup_pairs, max_iters=max_iters, algorithm=algorithm,
             star_max_iters=star_max_iters,
         )
-        losers = comp.where(F.col("node") != F.col("label")).select(
-            F.col("node").alias(id_col)
-        )
+        if score_col is None:
+            losers = comp.where(F.col("node") != F.col("label")).select(
+                F.col("node").alias(id_col)
+            )
+        else:
+            m = comp.join(
+                df.select(
+                    F.col(id_col).alias("node"), F.col(score_col).alias("_s")
+                ),
+                "node",
+            )
+            best = m.groupBy("label").agg(F.max("_s").alias("_best"))
+            winners = (
+                m.join(best, "label")
+                .where(F.col("_s").eqNullSafe(F.col("_best")))
+                .groupBy("label")
+                .agg(F.min("node").alias("_winner"))
+            )
+            losers = (
+                m.join(winners, "label")
+                .where(F.col("node") != F.col("_winner"))
+                .select(F.col("node").alias(id_col))
+            )
     else:
         losers = dup_pairs.select(F.col("b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")

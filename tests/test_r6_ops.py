@@ -261,3 +261,53 @@ def test_bigram_foreign_lm_backoff_fires(spark):
     alt = {r.doc_id: r.sum_bits for r in
            bigram_surprisal(df, lm_docs=lm_df, backoff_bits=10).collect()}
     assert alt[2] > got[2].sum_bits
+
+
+# --------------------------------------- quality-aware dedup representatives
+
+def test_representatives_keep_best_scored_member(spark):
+    from pyppi_spark.operators.dedup import near_dedup_representatives
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (4, 7), (5, 99), (6, None)],
+        "doc_id long, n_chars long",
+    )
+    # component {1,2,3}: best score 50 shared by 2 and 3 -> tie keeps 2;
+    # component {4,6}: 6 is NULL-scored, loses to 4; 5 untouched
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 6)], "a long, b long")
+    kept = sorted(
+        r.doc_id
+        for r in near_dedup_representatives(docs, pairs, score_col="n_chars").collect()
+    )
+    assert kept == [2, 4, 5]
+
+
+def test_representatives_all_null_component_keeps_min_id(spark):
+    from pyppi_spark.operators.dedup import near_dedup_representatives
+
+    docs = spark.createDataFrame(
+        [(7, None), (8, None), (9, 3)], "doc_id long, s long"
+    )
+    pairs = spark.createDataFrame([(8, 7)], "a long, b long")
+    kept = sorted(
+        r.doc_id for r in near_dedup_representatives(docs, pairs, score_col="s").collect()
+    )
+    assert kept == [7, 9]
+    with pytest.raises(ValueError):
+        near_dedup_representatives(docs, pairs, score_col="s", transitive=False)
+
+
+def test_representatives_constant_scores_equal_default_rule(spark):
+    from pyppi_spark.operators.dedup import near_dedup_representatives
+
+    docs = spark.createDataFrame(
+        [(i, 1) for i in range(10)], "doc_id long, s long"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "a long, b long"
+    )
+    a = sorted(r.doc_id for r in near_dedup_representatives(docs, pairs).collect())
+    b = sorted(
+        r.doc_id for r in near_dedup_representatives(docs, pairs, score_col="s").collect()
+    )
+    assert a == b == [0, 3, 4, 5, 7, 8, 9]
