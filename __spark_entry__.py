@@ -1607,6 +1607,22 @@ def q_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "n_chars")
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: replace every email/phone/IPv4 shape with its typed
+    placeholder (the transform counterpart of the pii_stats screen; same
+    patterns, so redacted text re-screens to zero by construction). Pure
+    chained regexp_replace — codegen, zero shuffle."""
+    from pyppi_spark.functions.text import pii_redact, pii_stats
+
+    docs = _documents(spark, sf_dir)
+    st = pii_stats("text")
+    return docs.select(
+        "doc_id",
+        pii_redact("text").alias("text_redacted"),
+        (st["n_email"] + st["n_phone"] + st["n_ipv4"]).alias("n_redacted"),
+    )
+
+
 DSIR_BUCKETS = 256
 DSIR_K = 150
 
@@ -1705,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_mix": q_quality_mix,
         "dsir_select": q_dsir_select,
         "quality_dedup": q_quality_dedup,
+        "pii_redact": q_pii_redact,
     }
 
 
@@ -3365,5 +3382,18 @@ SELECT d.doc_id, d.n_chars FROM documents d
 WHERE d.doc_id NOT IN (
   SELECT m.n FROM M m JOIN WIN w ON m.label = w.label WHERE m.n <> w.winner
 )
+""",
+        # chained PII scrubbing with the same RE2-portable patterns the
+        # pii_stats screen counts (email first — see functions/text.py)
+        "pii_redact": f"""
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+      '{PII_SQL["email"]}', '<EMAIL>', 'g'),
+      '{PII_SQL["phone"]}', '<PHONE>', 'g'),
+      '{PII_SQL["ipv4"]}', '<IP>', 'g') AS text_redacted,
+  (coalesce(len(regexp_extract_all(text, '{PII_SQL["email"]}')), 0)
+   + coalesce(len(regexp_extract_all(text, '{PII_SQL["phone"]}')), 0)
+   + coalesce(len(regexp_extract_all(text, '{PII_SQL["ipv4"]}')), 0))::BIGINT AS n_redacted
+FROM documents
 """,
     }

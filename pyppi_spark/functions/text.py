@@ -165,6 +165,29 @@ def pii_stats(col: str | Column = "text") -> dict[str, Column]:
     return {**counts, "has_pii": flag}
 
 
+PII_PLACEHOLDERS: dict[str, str] = {
+    "email": "<EMAIL>",
+    "phone": "<PHONE>",
+    "ipv4": "<IP>",
+}
+
+
+def pii_redact(col: str | Column = "text") -> Column:
+    """Scrub PII shapes from text: every match of the SAME patterns
+    ``pii_stats`` counts is replaced by its typed placeholder — the scrub
+    half of the count-vs-scrub consistency contract (redacted text
+    re-screens to zero counts, asserted in tests).  Chained
+    ``regexp_replace`` (codegen, no UDF); email runs FIRST because a long
+    digit local-part ("123456789@x") or a dotted-quad host would
+    otherwise be half-eaten by the phone/IPv4 passes, leaving a mangled
+    address instead of a placeholder.  NULL text stays NULL (a redactor
+    must be lossless on absent documents)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for name in ("email", "phone", "ipv4"):
+        c = F.regexp_replace(c, F.lit(PII_PATTERNS[name]), F.lit(PII_PLACEHOLDERS[name]))
+    return c
+
+
 def repetition_stats(col: str | Column = "text", n: int = 5) -> dict[str, Column]:
     """Within-document repetition signal (the Gopher-style repetition
     filter): fraction of word ``n``-gram OCCURRENCES that are repeats of

@@ -33,7 +33,7 @@ BNLJ_ALLOWED = {
 }
 
 ZERO_SHUFFLE = {
-    "text_stats", "pii_stats", "dataset_split", "chunk_docs",
+    "text_stats", "pii_stats", "pii_redact", "dataset_split", "chunk_docs",
     "token_stats", "jsonl_scan",
 }
 

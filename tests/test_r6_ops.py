@@ -311,3 +311,29 @@ def test_representatives_constant_scores_equal_default_rule(spark):
         r.doc_id for r in near_dedup_representatives(docs, pairs, score_col="s").collect()
     )
     assert a == b == [0, 3, 4, 5, 7, 8, 9]
+
+
+# ----------------------------------------------------------- PII redaction
+
+def test_pii_redact_scrubs_and_rescreens_clean(spark):
+    from pyppi_spark.functions.text import pii_redact, pii_stats
+
+    rows = [
+        (1, "mail me at jane.doe+x@corp.example.org or call +1 (555) 123-4567."),
+        (2, "server at 10.0.255.3 answered; no pii here otherwise"),
+        (3, "digit local part 123456789@host.io must become one placeholder"),
+        (4, None),
+        (5, "plain text with nothing sensitive at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    red = df.select("doc_id", pii_redact("text").alias("text"))
+    got = {r.doc_id: r.text for r in red.collect()}
+    assert got[1] == "mail me at <EMAIL> or call <PHONE>."
+    assert got[2] == "server at <IP> answered; no pii here otherwise"
+    assert got[3] == "digit local part <EMAIL> must become one placeholder"
+    assert got[4] is None
+    assert got[5] == rows[4][1]
+    # count-vs-scrub consistency: redacted text re-screens to zero
+    st = pii_stats("text")
+    rescreen = red.select((st["n_email"] + st["n_phone"] + st["n_ipv4"]).alias("n"))
+    assert all(r.n == 0 for r in rescreen.collect())
