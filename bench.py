@@ -268,6 +268,22 @@ def main() -> None:
 
         yield "near_dedup_fast", near_dedup_fast
 
+        # DSIR production path: xxhash64 gram bucketing + the Gumbel
+        # sampler (the driver query's md5/hash-tiebreak mode exists for
+        # its oracle)
+        from pyspark.sql import functions as F
+
+        from pyppi_spark.operators.dsir import dsir_scores, gumbel_topk
+
+        def dsir_fast() -> None:
+            scored = dsir_scores(
+                docs, docs.where(F.col("lang") == "en"),
+                n_buckets=8192, hash_mode="fast",
+            )
+            force(gumbel_topk(scored, k=1000, seed=42, noise="gumbel"))
+
+        yield "dsir_fast", dsir_fast
+
     for name, job in fast_paths():
         walls = sorted(timed(job) for _ in range(REPS))
         timings[name] = round(walls[0], 3)

@@ -48,6 +48,12 @@ JOB_DESC = {
     "(exchange, hash-agg spill paths, equi-join); nodes hold disjoint "
     "quarters, so the cross-node repartition a real cluster adds is the "
     "one cost not modeled (it is network-, not engine-, bound)",
+    "lm": "the corpus-LM scoring class (quality_lm / DSIR family): "
+    "posexplode tokens -> per-doc lag window (bigram build) -> hashed-gram "
+    "bucketing -> broadcast-LM joins -> per-doc hash agg, via dsir_scores "
+    "over every turn's text with a deterministic 10% 'target corpus' — "
+    "exercises the explode+window+broadcast-join topology the dedup "
+    "classes don't (windows dominate; LM tables ride broadcasts)",
 }
 
 
@@ -151,6 +157,20 @@ def make_job(part, job_name: str):
             cands.write.format("noop").mode("overwrite").save()
 
         return job
+    if job_name == "lm":
+        from pyppi_spark.operators.dsir import dsir_scores
+
+        docs = part.select(
+            F.concat_ws("#", "conv_id", "turn_idx").alias("doc_id"), "text"
+        )
+        # deterministic 10% slice stands in for the curated target corpus
+        target = docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0)
+        scored = dsir_scores(docs, target, n_buckets=8192, hash_mode="fast")
+
+        def job() -> None:
+            scored.write.format("noop").mode("overwrite").save()
+
+        return job
     raise ValueError(f"unknown job {job_name!r}")
 
 
@@ -228,6 +248,7 @@ JOB_CONTROL = {
     "asof_merge": "cpu",
     "winnow": "kernel",
     "lsh": "cpu",  # pure-JVM shuffle/hash-agg job — no Python workers
+    "lm": "cpu",  # pure-JVM explode/window/broadcast-join job
 }
 
 # per-job session conf for the process runners. winnow: the kernel's
@@ -526,7 +547,7 @@ def main() -> None:
     ap.add_argument("--ready", type=str, default="")
     ap.add_argument("--go", type=str, default="")
     ap.add_argument("--mode", type=str, default="threads", choices=["threads", "processes"])
-    ap.add_argument("--job", type=str, default="features", choices=["features", "asof_merge", "winnow", "lsh"])
+    ap.add_argument("--job", type=str, default="features", choices=["features", "asof_merge", "winnow", "lsh", "lm"])
     args = ap.parse_args()
 
     if args.runner_range:
