@@ -1607,6 +1607,26 @@ def q_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "n_chars")
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup observability: the duplicate-cluster size histogram (how
+    many near-dup clusters of each size the corpus holds) — the report
+    every dedup run prints before anyone trusts its drop rate. Same
+    LSH-bounded pair machinery as quality_dedup; two tiny label-keyed
+    aggs on top of components."""
+    from pyppi_spark.operators import minhash_lsh_candidates, minhash_signatures
+    from pyppi_spark.operators.dedup import near_dup_components, ngram_jaccard_pairs
+
+    docs = _documents(spark, sf_dir)
+    sigs = minhash_signatures(docs)
+    cands = minhash_lsh_candidates(sigs, bands=32, rows_per_band=2).localCheckpoint()
+    pairs = ngram_jaccard_pairs(docs, cands, threshold=0.8)
+    comp = near_dup_components(pairs)
+    sizes = comp.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )
+
+
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing: replace every email/phone/IPv4 shape with its typed
     placeholder (the transform counterpart of the pii_stats screen; same
@@ -1722,6 +1742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "quality_dedup": q_quality_dedup,
         "pii_redact": q_pii_redact,
+        "dup_clusters": q_dup_clusters,
     }
 
 
@@ -3395,5 +3416,33 @@ SELECT doc_id,
    + coalesce(len(regexp_extract_all(text, '{PII_SQL["phone"]}')), 0)
    + coalesce(len(regexp_extract_all(text, '{PII_SQL["ipv4"]}')), 0))::BIGINT AS n_redacted
 FROM documents
+""",
+        # duplicate-cluster size histogram over the same brute-force
+        # pair + recursive-CTE component machinery as quality_dedup
+        "dup_clusters": r"""
+WITH RECURSIVE W AS (
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+  FROM documents
+), S AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         ELSE list_distinct(list_transform(generate_series(1, len(ws)-2),
+                            i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))
+    END AS sh
+  FROM W
+), P AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM S x JOIN S y ON x.doc_id < y.doc_id
+  WHERE len(list_intersect(x.sh, y.sh))::DOUBLE
+          / len(list_distinct(x.sh || y.sh))::DOUBLE >= 0.8
+), NN AS (SELECT a AS n FROM P UNION SELECT b FROM P
+), E2 AS (SELECT a AS s, b AS d FROM P UNION SELECT b, a FROM P
+), R(n, l) AS (
+  SELECT n, n FROM NN
+  UNION
+  SELECT e2.d, r.l FROM R r JOIN E2 e2 ON r.n = e2.s
+), C AS (SELECT n, min(l) AS label FROM R GROUP BY n
+), SZ AS (SELECT label, count(*)::BIGINT AS cluster_size FROM C GROUP BY label)
+SELECT cluster_size, count(*)::BIGINT AS n_clusters FROM SZ GROUP BY cluster_size
 """,
     }

@@ -39,8 +39,9 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
+from pyppi_spark.operators.quality_lm import gram_pair_rows
 from pyppi_spark.operators.sampling import _keyed_hash
 
 
@@ -58,13 +59,6 @@ def _gram_bucket(gram: F.Column, n_buckets: int, hash_mode: str, seed: int) -> F
     return F.pmod(h, F.lit(n_buckets)).cast("long")
 
 
-def _norm_tokens(text_col: str) -> F.Column:
-    """Repo-wide text normalization (see ``quality_lm._norm_tokens``)."""
-    return F.split(
-        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
-    )
-
-
 def hashed_gram_occurrences(
     docs: DataFrame,
     n_buckets: int,
@@ -77,12 +71,9 @@ def hashed_gram_occurrences(
     are unigrams plus word bigrams (DSIR's published feature space);
     token strings never contain spaces, bigrams always do, so the two
     gram families cannot collide as strings (they still share buckets —
-    that IS the hashing trick)."""
-    toks = docs.select(
-        F.col(id_col), F.posexplode(_norm_tokens(text_col)).alias("_pos", "_w2")
-    )
-    w = Window.partitionBy(id_col).orderBy("_pos")
-    grams = toks.withColumn("_w1", F.lag("_w2").over(w))
+    that IS the hashing trick).  Built on the zero-shuffle
+    ``gram_pair_rows`` — no window, no exchange before aggregation."""
+    grams = gram_pair_rows(docs, text_col=text_col, id_col=id_col)
     g = grams.select(
         F.col(id_col),
         F.explode(

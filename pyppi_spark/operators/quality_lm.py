@@ -44,6 +44,38 @@ def _norm_tokens(text_col: str) -> F.Column:
     )
 
 
+def gram_pair_rows(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per token occurrence with its left context:
+    ``(id_col, _w1, _w2)`` where ``_w1`` is NULL for the document-initial
+    token — the input shape every n-gram LM here consumes (bigram
+    surprisal, DSIR's hashed-gram features).
+
+    ZERO SHUFFLE by construction: the previous-token column comes from
+    zipping the token array with its own 1-right-shifted copy
+    (``concat([NULL], slice(toks, 1, n-1))``) and exploding ONCE — no
+    per-document window, so there is no token-row exchange+sort and no
+    giant-document sort straggler.  ``concat``/``slice``/``arrays_zip``
+    are plain (non-lambda) collection expressions that stay inside
+    whole-stage codegen — this is NOT the interpreted higher-order-
+    function trap that made the minhash string pipelines 10× slower
+    (those chain per-element LambdaFunctions; this builds two arrays and
+    explodes)."""
+    toks = _norm_tokens(text_col)
+    d = docs.select(F.col(id_col), toks.alias("_t"))
+    prev = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(F.col("_t"), 1, F.greatest(F.size("_t") - 1, F.lit(0))),
+    )
+    z = d.select(
+        F.col(id_col), F.explode(F.arrays_zip(F.col("_t"), prev.alias("_p"))).alias("_s")
+    )
+    return z.select(
+        F.col(id_col), F.col("_s._p").alias("_w1"), F.col("_s._t").alias("_w2")
+    )
+
+
 def unigram_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Corpus unigram table: one row per token with its corpus occurrence
     count ``tf``.  Exposed separately so an incremental pipeline can
@@ -197,27 +229,20 @@ def bigram_surprisal(
     out-of-vocabulary tokens take the tf=1 max-surprisal floor, exactly
     like ``unigram_surprisal(vocab=...)``.
 
-    Plan shape: tokens with position (one ``posexplode``) → ``lag`` window
-    per document builds the bigram rows (the one per-doc window; a giant
-    document is one spillable sort straggler — same regime note as every
-    per-doc window in the repo) → corpus bigram/context count tables (two
-    map-side-partial hash aggs, vocab²-bounded but Heaps-law small in
-    practice) → two equi joins back (the skewed stop-bigram keys sit in
-    joins, which AQE skew-split handles) → per-doc agg.
+    Plan shape: ``gram_pair_rows`` builds (w1, w2) token rows with ZERO
+    shuffle (shifted-array zip + one explode — no per-doc window, no
+    token-row exchange+sort, no giant-document sort straggler) → corpus
+    bigram/context count tables (two map-side-partial hash aggs,
+    vocab²-bounded but Heaps-law small in practice) → two equi joins back
+    (the skewed stop-bigram keys sit in joins, which AQE skew-split
+    handles) → per-doc agg.
     """
-    def gram_rows(d: DataFrame) -> DataFrame:
-        t = d.select(
-            F.col(id_col), F.posexplode(_norm_tokens(text_col)).alias("_pos", "_w2")
-        )
-        w = Window.partitionBy(id_col).orderBy("_pos")
-        return t.withColumn("_w1", F.lag("_w2").over(w))
-
-    grams = gram_rows(docs)
+    grams = gram_pair_rows(docs, text_col=text_col, id_col=id_col)
     # LM tables: self-trained by default; ``lm_docs`` trains on a separate
     # (held-out / frozen reference) corpus — the setup where the backoff
     # path actually fires, since a self-trained LM has seen every bigram
     # it scores. Bigram and left-context counts share one scan.
-    lm = grams if lm_docs is None else gram_rows(lm_docs)
+    lm = grams if lm_docs is None else gram_pair_rows(lm_docs, text_col=text_col, id_col=id_col)
     big = lm.where(F.col("_w1").isNotNull())
     bf = big.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_bf"))
     cf = big.groupBy("_w1").agg(F.count(F.lit(1)).alias("_cf"))
