@@ -71,17 +71,9 @@ MOSS_PARAMS = {"family": "moss", "k": 7, "window": 4, "hash_mode": "fast"}
 
 
 def _write_text(spark, path: str, content: str) -> None:
-    """Write a small text file through the Hadoop FileSystem API — works
-    on any URI scheme Spark itself can write to (local, hdfs://, s3a://),
-    unlike driver-local ``open()``."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(jpath, True)
-    try:
-        out.write(bytearray(content.encode("utf-8")))
-    finally:
-        out.close()
+    from pyppi_spark.io import write_text
+
+    write_text(spark, path, content)
 
 
 def _write_band_params(spark, output: str, params: dict) -> None:

@@ -1,0 +1,160 @@
+"""spark-submit entry: corpus selection & assembly — the quality /
+data-mixture half of training-set construction (the dedup half is
+``jobs/dedup_corpus.py``):
+
+    quality scoring (corpus-LM surprisal) → per-source rank tiers, tail
+    dropped → optional DSIR importance selection toward a target slice →
+    optional per-source token-budget mixture → seeded shard shuffle
+
+    spark-submit --py-files dist/pyppi_spark.zip jobs/select_corpus.py \
+        --documents /path/docs.parquet --output /path/out \
+        --target-lang en --dsir-k 100000 \
+        --budget web=2000000000 --budget books=500000000 --n-shards 1024
+
+Every stage is a pure function of (seed, input): two runs over the same
+parquet produce byte-identical selections at any parallelism. Stage
+outputs are materialized under --output (the reference's stage-boundary
+readback pattern, /root/reference/bin/setupPpiDb.py:375-413) and
+``select_metrics.json`` records the row/token accounting per stage — a
+selection job that cannot say what it dropped is not auditable.
+
+Scale notes: the surprisal/DSIR scorers are explode + broadcast-LM joins
++ hash aggs (no per-doc window — see quality_lm.gram_pair_rows); the
+tier window partitions by source (bounded count); mix_sample's
+O(budget) prefilter escape is exposed via --prefilter-margin for giant
+domains. Metrics are written through the Hadoop FileSystem API so
+hdfs:///s3a:// outputs work end-to-end.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyppi_spark.session import build_spark
+
+
+def _parse_budgets(items: list[str]) -> dict[str, int]:
+    out: dict[str, int] = {}
+    for it in items:
+        if "=" not in it:
+            raise SystemExit(f"--budget must be name=tokens, got {it!r}")
+        k, v = it.split("=", 1)
+        out[k] = int(v)
+    return out
+
+
+def main(argv: list[str] | None = None) -> dict:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--documents", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--source-col", default="source")
+    ap.add_argument("--tiers", default="head,middle",
+                    help="comma list of quality tiers to keep (of head,middle,tail)")
+    ap.add_argument("--target-lang", default=None,
+                    help="enable DSIR selection toward documents of this lang")
+    ap.add_argument("--dsir-k", type=int, default=0,
+                    help="DSIR Gumbel top-k size (required with --target-lang)")
+    ap.add_argument("--dsir-buckets", type=int, default=8192)
+    ap.add_argument("--budget", action="append", default=[],
+                    help="per-source token budget name=tokens (repeatable)")
+    ap.add_argument("--prefilter-margin", type=float, default=None)
+    ap.add_argument("--n-shards", type=int, default=64)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--hash-mode", default="fast", choices=["fast", "portable"])
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    keep_tiers = [t.strip() for t in args.tiers.split(",") if t.strip()]
+    bad = set(keep_tiers) - {"head", "middle", "tail"}
+    if bad or not keep_tiers:
+        raise SystemExit(f"--tiers must name head/middle/tail, got {args.tiers!r}")
+    if (args.target_lang is None) != (args.dsir_k == 0):
+        raise SystemExit("--target-lang and --dsir-k must be passed together")
+    budgets = _parse_budgets(args.budget)
+
+    spark = build_spark("select_corpus", master=args.master)
+    from pyspark.sql import functions as F
+
+    from pyppi_spark.io import write_text
+    from pyppi_spark.operators.dsir import dsir_scores, gumbel_topk
+    from pyppi_spark.operators.quality_lm import rank_buckets, unigram_surprisal
+    from pyppi_spark.operators.sampling import mix_sample, shard_assign
+
+    idc, txt, src = args.id_col, args.text_col, args.source_col
+    docs = spark.read.parquet(args.documents)
+    n_in = docs.count()
+    metrics: dict = {"docs_in": n_in, "seed": args.seed, "kept_tiers": keep_tiers}
+
+    # ---- stage 1: quality tiers (scored table materialized for audit)
+    scored = unigram_surprisal(docs, text_col=txt, id_col=idc).join(
+        docs.select(idc, src), idc
+    )
+    tiers = rank_buckets(scored, src, "mean_bits", id_col=idc)
+    tiers.write.mode("overwrite").parquet(f"{args.output}/quality_tiers")
+    tiers = spark.read.parquet(f"{args.output}/quality_tiers")
+    kept = tiers.where(F.col("bucket").isin(keep_tiers))
+    metrics["docs_quality_kept"] = kept.count()
+
+    # ---- stage 2: DSIR selection toward the target slice (optional)
+    if args.target_lang is not None:
+        pool = docs.join(kept.select(idc), idc, "semi")
+        target = docs.where(F.col("lang") == args.target_lang)
+        ds = dsir_scores(
+            pool, target, n_buckets=args.dsir_buckets,
+            text_col=txt, id_col=idc, hash_mode=args.hash_mode,
+        )
+        sel = gumbel_topk(
+            ds, k=args.dsir_k, id_col=idc, seed=args.seed, noise="gumbel",
+            hash_mode=args.hash_mode,
+        )
+        kept = kept.join(sel.select(idc), idc, "semi")
+        metrics["docs_dsir_kept"] = kept.count()
+
+    # ---- stage 3: per-source token-budget mixture (optional)
+    if budgets:
+        kept = mix_sample(
+            kept, src, budgets, weight_col="n_tokens", id_col=idc,
+            seed=args.seed, hash_mode=args.hash_mode,
+            prefilter_margin=args.prefilter_margin,
+        )
+        metrics["docs_mixed"] = kept.count()
+        metrics["budgets"] = budgets
+
+    # ---- stage 4: seeded shard shuffle and final write
+    final = shard_assign(
+        kept, args.n_shards, id_col=idc, seed=args.seed, hash_mode=args.hash_mode
+    ).join(docs.select(idc, txt), idc)
+    final.write.mode("overwrite").partitionBy("shard").parquet(
+        f"{args.output}/selected"
+    )
+    final_mat = spark.read.parquet(f"{args.output}/selected")
+    metrics["docs_out"] = final_mat.count()
+    metrics["tokens_out"] = (
+        final_mat.agg(F.sum("n_tokens").cast("long")).collect()[0][0] or 0
+    )
+    per_src = {
+        r[0]: {"docs": r[1], "tokens": r[2]}
+        for r in final_mat.groupBy(src)
+        .agg(F.count(F.lit(1)), F.sum("n_tokens").cast("long"))
+        .collect()  # bounded: one row per source
+    }
+    metrics["per_source"] = per_src
+
+    write_text(
+        spark, f"{args.output}/select_metrics.json",
+        json.dumps(metrics, sort_keys=True, default=str),
+    )
+    print(json.dumps(metrics, sort_keys=True, default=str))
+    spark.stop()
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

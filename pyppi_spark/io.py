@@ -160,3 +160,17 @@ def register_bucketed(
         """
     )
     return spark.table(table)
+
+
+def write_text(spark: SparkSession, path: str, content: str) -> None:
+    """Write a small text file through the Hadoop FileSystem API — works
+    on any URI scheme Spark itself can write to (local, hdfs://, s3a://),
+    unlike driver-local ``open()``. For job metrics/ledger sidecars."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
