@@ -91,6 +91,10 @@ HEADLINE = [
     "embed_outliers",
     "bigram_surprisal",
     "quality_mix",
+    "dsir_select",
+    "quality_dedup",
+    "dup_clusters",
+    "pii_redact",
 ]
 
 
