@@ -1607,6 +1607,22 @@ def q_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "n_chars")
 
 
+def q_pit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time similarity retrieval: for each late query vector
+    (vec_id >= 450; vec_id doubles as the time axis here), the top-5
+    most-similar STRICTLY-EARLIER vectors — leak-free retrieval for
+    RAG-style training examples, the as-of invariant applied to vector
+    search (operators/similarity.py pit_topk)."""
+    from pyppi_spark.operators.similarity import pit_topk
+
+    emb = _embeddings(spark, sf_dir)
+    probes = emb.where((F.col("vec_id") >= 450) & (F.col("vec_id") < 500))
+    out = pit_topk(probes, emb, k=5, ts_col="vec_id", dim=EMBED_DIM)
+    return out.select(
+        "query_id", "neighbor_id", "rk", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup observability: the duplicate-cluster size histogram (how
     many near-dup clusters of each size the corpus holds) — the report
@@ -1743,6 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_dedup": q_quality_dedup,
         "pii_redact": q_pii_redact,
         "dup_clusters": q_dup_clusters,
+        "pit_topk": q_pit_topk,
     }
 
 
@@ -3444,5 +3461,25 @@ WITH RECURSIVE W AS (
 ), C AS (SELECT n, min(l) AS label FROM R GROUP BY n
 ), SZ AS (SELECT label, count(*)::BIGINT AS cluster_size FROM C GROUP BY label)
 SELECT cluster_size, count(*)::BIGINT AS n_clusters FROM SZ GROUP BY cluster_size
+""",
+        # leak-free retrieval: top-5 cosine among STRICTLY-EARLIER vectors
+        # (vec_id is the time axis); same float policy as similarity_topk
+        "pit_topk": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings
+  WHERE vec_id >= 450 AND vec_id < 500
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ce FROM embeddings
+), s AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qe, ce)
+           / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) AS cos
+  FROM q JOIN c ON neighbor_id < query_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+  FROM s
+)
+SELECT query_id, neighbor_id, rk::BIGINT AS rk, round(cos, 6) AS cos_sim
+FROM r WHERE rk <= 5
 """,
     }

@@ -95,6 +95,7 @@ HEADLINE = [
     "quality_dedup",
     "dup_clusters",
     "pii_redact",
+    "pit_topk",
 ]
 
 

@@ -77,6 +77,72 @@ def brute_force_topk(
     )
 
 
+def pit_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ts_col: str = "ts",
+    query_id_col: str = "query_id",
+    inclusive: bool = False,
+    dim: int | None = None,
+) -> DataFrame:
+    """Point-in-time (leak-free) similarity retrieval: for each query
+    row, the top-k most cosine-similar candidates whose timestamp is
+    strictly before the query's (``inclusive=True`` allows ties in time —
+    the probe-side tie flag, same contract as the as-of joins).  This is
+    the retrieval primitive for building retrieval-augmented TRAINING
+    examples: the retrieved context must not come from the query's
+    future, so the causality predicate lives inside the join — zero
+    temporal leakage by construction, the repo-wide as-of invariant
+    applied to vector search.
+
+    Exact-retrieval contract, same as ``brute_force_topk``: the query set
+    broadcasts (small by contract — a probe/eval set), candidates stream
+    map-side, per-pair work is ONE fold dot (norms precomputed per row),
+    and the causality comparison is a cheap predicate so it is safe
+    inside the BroadcastNestedLoopJoin condition (the expensive cosine
+    stays in a projection above it).  Scale escape: for large query sets
+    run ``ivf_topk``/``lsh_topk`` buckets first and apply the ts
+    predicate before the per-bucket top-k — note the recall interaction:
+    the top-k AMONG PAST rows may need a deeper ``n_probe`` when the
+    unconstrained nearest neighbors are mostly future rows.
+
+    Output: ``(query_id, neighbor_id, rk, cos_sim)`` — rank ordered by
+    (cosine desc, neighbor_id), rows with no admissible history are
+    absent (no NULL padding), also the as-of convention."""
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(ts_col).alias("_qts"),
+        _as_double(vec_col).alias("_q"),
+        l2_norm(_as_double(vec_col), dim).alias("_qn"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(ts_col).alias("_cts"),
+        _as_double(vec_col).alias("_c"),
+        l2_norm(_as_double(vec_col), dim).alias("_cn"),
+    )
+    causal = (
+        (F.col("_cts") <= F.col("_qts")) if inclusive else (F.col("_cts") < F.col("_qts"))
+    )
+    pairs = c.join(
+        F.broadcast(q), causal & (F.col("neighbor_id") != F.col(query_id_col))
+    )
+    scored = pairs.select(
+        query_id_col,
+        "neighbor_id",
+        _cos(F.col("_q"), F.col("_c"), F.col("_qn"), F.col("_cn"), dim).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(query_id_col, "neighbor_id", "rk", "cos_sim")
+    )
+
+
 def _random_planes(dim: int, n_tables: int, n_bits: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_tables, n_bits, dim))

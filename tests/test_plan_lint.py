@@ -21,6 +21,9 @@ BNLJ_ALLOWED = {
     # brute-force top-k baseline: the 5-row query side broadcasts; the
     # "join" is effectively a 5x map over candidates
     "similarity_topk",
+    # 50-row broadcast probe set; causality predicate is a cheap
+    # comparison in the BNLJ condition, cosine stays in the projection
+    "pit_topk",
     # 1-row corpus-size scalar cross join for the IDF denominator
     "top_tokens",
     # 1-row corpus-total-token-count scalar cross join (quality_lm)

@@ -337,3 +337,57 @@ def test_pii_redact_scrubs_and_rescreens_clean(spark):
     st = pii_stats("text")
     rescreen = red.select((st["n_email"] + st["n_phone"] + st["n_ipv4"]).alias("n"))
     assert all(r.n == 0 for r in rescreen.collect())
+
+
+# --------------------------------------------------- PIT similarity retrieval
+
+def test_pit_topk_never_leaks_future(spark):
+    import numpy as np
+    from pyppi_spark.operators.similarity import brute_force_topk, pit_topk
+
+    rng = np.random.default_rng(11)
+    rows = [(i, i * 10, [float(x) for x in rng.standard_normal(8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, ts long, embedding array<double>")
+    probes = emb.where("vec_id >= 30")
+    out = pit_topk(probes, emb, k=3, ts_col="ts", dim=8).collect()
+    assert len(out) == 10 * 3
+    for r in out:
+        assert r.neighbor_id < r.query_id  # strictly earlier ts = smaller id here
+
+    # inclusive mode admits same-ts rows (planted tie) but still not future
+    tie = spark.createDataFrame(
+        [(100, 300, rows[30][2])], "vec_id long, ts long, embedding array<double>"
+    )
+    emb2 = emb.union(tie)
+    strict = pit_topk(emb2.where("vec_id = 100"), emb2, k=50, ts_col="ts", dim=8)
+    incl = pit_topk(
+        emb2.where("vec_id = 100"), emb2, k=50, ts_col="ts", dim=8, inclusive=True
+    )
+    sn = {r.neighbor_id for r in strict.collect()}
+    inn = {r.neighbor_id for r in incl.collect()}
+    assert 30 not in sn and 30 in inn  # the ts-tie row admitted only inclusively
+    assert max(inn) <= 30  # future rows (ts > 300) never appear
+
+    # with every candidate in the past, pit_topk == brute_force_topk
+    past = emb.where("vec_id < 30")
+    a = sorted(
+        (r.query_id, r.neighbor_id, r.rk)
+        for r in pit_topk(probes, past, k=3, ts_col="ts", dim=8).collect()
+    )
+    b = sorted(
+        (r.query_id, r.neighbor_id, r.rk)
+        for r in brute_force_topk(probes, past, k=3, dim=8).collect()
+    )
+    assert a == b
+
+
+def test_pit_topk_no_history_rows_absent(spark):
+    from pyppi_spark.operators.similarity import pit_topk
+
+    emb = spark.createDataFrame(
+        [(1, 10, [1.0, 0.0]), (2, 20, [0.0, 1.0])],
+        "vec_id long, ts long, embedding array<double>",
+    )
+    out = pit_topk(emb, emb, k=5, ts_col="ts", dim=2).collect()
+    # vec 1 has no history -> absent; vec 2 sees only vec 1
+    assert [(r.query_id, r.neighbor_id) for r in out] == [(2, 1)]
