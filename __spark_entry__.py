@@ -1647,15 +1647,21 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing: replace every email/phone/IPv4 shape with its typed
     placeholder (the transform counterpart of the pii_stats screen; same
     patterns, so redacted text re-screens to zero by construction). Pure
-    chained regexp_replace — codegen, zero shuffle."""
-    from pyppi_spark.functions.text import pii_redact, pii_stats
+    chained regexp_replace — codegen, zero shuffle.
+
+    n_redacted counts placeholders ACTUALLY inserted: each pattern is
+    counted on the text state its replace pass sees (email count on the
+    original, phone on the email-redacted text, IPv4 on the
+    email+phone-redacted text) — summing all three raw pii_stats counts
+    would double-count substrings matched by more than one pattern (a
+    9-digit email local part also matches the phone shape)."""
+    from pyppi_spark.functions.text import pii_redact, pii_redaction_count
 
     docs = _documents(spark, sf_dir)
-    st = pii_stats("text")
     return docs.select(
         "doc_id",
         pii_redact("text").alias("text_redacted"),
-        (st["n_email"] + st["n_phone"] + st["n_ipv4"]).alias("n_redacted"),
+        pii_redaction_count("text").alias("n_redacted"),
     )
 
 
@@ -3422,17 +3428,26 @@ WHERE d.doc_id NOT IN (
 )
 """,
         # chained PII scrubbing with the same RE2-portable patterns the
-        # pii_stats screen counts (email first — see functions/text.py)
+        # pii_stats screen counts (email first — see functions/text.py);
+        # n_redacted counts each pass on the text state it sees, so
+        # overlapping matches (digit email local part ~ phone shape) are
+        # not double-counted
         "pii_redact": f"""
+WITH S AS (
+  SELECT doc_id, text AS t0,
+         regexp_replace(text, '{PII_SQL["email"]}', '<EMAIL>', 'g') AS t1
+  FROM documents
+), S2 AS (
+  SELECT doc_id, t0, t1,
+         regexp_replace(t1, '{PII_SQL["phone"]}', '<PHONE>', 'g') AS t2
+  FROM S
+)
 SELECT doc_id,
-  regexp_replace(regexp_replace(regexp_replace(text,
-      '{PII_SQL["email"]}', '<EMAIL>', 'g'),
-      '{PII_SQL["phone"]}', '<PHONE>', 'g'),
-      '{PII_SQL["ipv4"]}', '<IP>', 'g') AS text_redacted,
-  (coalesce(len(regexp_extract_all(text, '{PII_SQL["email"]}')), 0)
-   + coalesce(len(regexp_extract_all(text, '{PII_SQL["phone"]}')), 0)
-   + coalesce(len(regexp_extract_all(text, '{PII_SQL["ipv4"]}')), 0))::BIGINT AS n_redacted
-FROM documents
+  regexp_replace(t2, '{PII_SQL["ipv4"]}', '<IP>', 'g') AS text_redacted,
+  coalesce(len(regexp_extract_all(t0, '{PII_SQL["email"]}'))
+   + len(regexp_extract_all(t1, '{PII_SQL["phone"]}'))
+   + len(regexp_extract_all(t2, '{PII_SQL["ipv4"]}')), 0)::BIGINT AS n_redacted
+FROM S2
 """,
         # duplicate-cluster size histogram over the same brute-force
         # pair + recursive-CTE component machinery as quality_dedup

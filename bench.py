@@ -285,7 +285,7 @@ def main() -> None:
                 docs, docs.where(F.col("lang") == "en"),
                 n_buckets=8192, hash_mode="fast",
             )
-            force(gumbel_topk(scored, k=1000, seed=42, noise="gumbel"))
+            force(gumbel_topk(scored, k=1000, seed=42, noise="gumbel", hash_mode="fast"))
 
         yield "dsir_fast", dsir_fast
 

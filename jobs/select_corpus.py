@@ -102,7 +102,18 @@ def main(argv: list[str] | None = None) -> dict:
     kept = tiers.where(F.col("bucket").isin(keep_tiers))
     metrics["docs_quality_kept"] = kept.count()
 
-    # ---- stage 2: DSIR selection toward the target slice (optional)
+    # Stage seeds MUST be independent draws: under the seed|id key scheme
+    # distinct seed ints give disjoint hash spaces, so the Gumbel noise,
+    # the mixture's hash-prefix rank, and the shard draw are mutually
+    # uncorrelated.  Reusing one seed makes the DSIR sampler and the
+    # mixture sampler rank by the IDENTICAL per-doc hash — the budget
+    # stage would then deterministically drop first exactly the docs the
+    # Gumbel stage most favored (a contiguous hash band, not a sample).
+    seed_dsir, seed_mix, seed_shard = args.seed + 1, args.seed + 2, args.seed + 3
+
+    # ---- stage 2: DSIR selection toward the target slice (optional);
+    # materialized (the stage-boundary readback pattern) so the corpus-
+    # wide gram scoring plan executes exactly once
     if args.target_lang is not None:
         pool = docs.join(kept.select(idc), idc, "semi")
         target = docs.where(F.col("lang") == args.target_lang)
@@ -111,25 +122,30 @@ def main(argv: list[str] | None = None) -> dict:
             text_col=txt, id_col=idc, hash_mode=args.hash_mode,
         )
         sel = gumbel_topk(
-            ds, k=args.dsir_k, id_col=idc, seed=args.seed, noise="gumbel",
+            ds, k=args.dsir_k, id_col=idc, seed=seed_dsir, noise="gumbel",
             hash_mode=args.hash_mode,
         )
+        sel.write.mode("overwrite").parquet(f"{args.output}/dsir_selected")
+        sel = spark.read.parquet(f"{args.output}/dsir_selected")
         kept = kept.join(sel.select(idc), idc, "semi")
         metrics["docs_dsir_kept"] = kept.count()
 
-    # ---- stage 3: per-source token-budget mixture (optional)
+    # ---- stage 3: per-source token-budget mixture (optional); same
+    # stage-boundary materialization
     if budgets:
         kept = mix_sample(
             kept, src, budgets, weight_col="n_tokens", id_col=idc,
-            seed=args.seed, hash_mode=args.hash_mode,
+            seed=seed_mix, hash_mode=args.hash_mode,
             prefilter_margin=args.prefilter_margin,
         )
+        kept.write.mode("overwrite").parquet(f"{args.output}/mixed")
+        kept = spark.read.parquet(f"{args.output}/mixed")
         metrics["docs_mixed"] = kept.count()
         metrics["budgets"] = budgets
 
     # ---- stage 4: seeded shard shuffle and final write
     final = shard_assign(
-        kept, args.n_shards, id_col=idc, seed=args.seed, hash_mode=args.hash_mode
+        kept, args.n_shards, id_col=idc, seed=seed_shard, hash_mode=args.hash_mode
     ).join(docs.select(idc, txt), idc)
     final.write.mode("overwrite").partitionBy("shard").parquet(
         f"{args.output}/selected"

@@ -188,6 +188,25 @@ def pii_redact(col: str | Column = "text") -> Column:
     return c
 
 
+def pii_redaction_count(col: str | Column = "text") -> Column:
+    """Number of placeholders ``pii_redact`` actually inserts: each
+    pattern is counted on the text state its replace pass sees (email on
+    the original, phone on the email-redacted text, IPv4 on the
+    email+phone-redacted text).  Summing the three raw ``pii_stats``
+    counts instead would double-count substrings matched by more than
+    one pattern — a 9-digit email local part also matches the phone
+    shape but yields ONE ``<EMAIL>`` placeholder.  NULL text counts 0."""
+    t0 = F.col(col) if isinstance(col, str) else col
+    t1 = F.regexp_replace(t0, F.lit(PII_PATTERNS["email"]), F.lit(PII_PLACEHOLDERS["email"]))
+    t2 = F.regexp_replace(t1, F.lit(PII_PATTERNS["phone"]), F.lit(PII_PLACEHOLDERS["phone"]))
+    n = (
+        F.regexp_count(t0, F.lit(PII_PATTERNS["email"]))
+        + F.regexp_count(t1, F.lit(PII_PATTERNS["phone"]))
+        + F.regexp_count(t2, F.lit(PII_PATTERNS["ipv4"]))
+    )
+    return F.coalesce(n, F.lit(0)).cast("long")
+
+
 def repetition_stats(col: str | Column = "text", n: int = 5) -> dict[str, Column]:
     """Within-document repetition signal (the Gopher-style repetition
     filter): fraction of word ``n``-gram OCCURRENCES that are repeats of

@@ -21,11 +21,12 @@ device as ``quality_lm``): one gram occurrence in bucket b scores
 document that is LESS surprising to the target LM than to the raw LM
 scores positive.  Pure int64 arithmetic — the SQL oracle matches bitwise.
 
-Plan shape (one text scan, one real shuffle): scan → posexplode tokens →
-per-doc lag window builds bigrams (the one per-doc window; a giant
-document is one spillable sort straggler, same regime note as
-``bigram_surprisal``) → hash gram to one of ``n_buckets`` buckets →
-partial+final count by (doc, bucket).  The two corpus bucket tables are
+Plan shape (one text scan, one real shuffle): scan → window-free bigram
+build (``quality_lm.gram_pair_rows``: shifted-array zip + one explode —
+no per-doc window, no token-row exchange+sort, no giant-document sort
+straggler; the windowed formulation measurably FAILED the process-
+isolated scaling gate before this rewrite passed it) → hash gram to one
+of ``n_buckets`` buckets → partial+final count by (doc, bucket).  The two corpus bucket tables are
 ≤ ``n_buckets`` rows each (bounded by construction, unlike a vocabulary)
 — ALWAYS broadcast, so scoring joins are map-side and the only exchange
 moving O(corpus) rows is the (doc, bucket) aggregation.  At 100 TB the
@@ -140,7 +141,24 @@ def dsir_scores(
     else:
         p = target_buckets
     p = p.select(F.col("bucket"), F.col("tf").cast("long").alias("_tfp"))
-    tot_p = p.agg(F.sum("_tfp").cast("long").alias("_totp"))
+    # empty-target guard: with zero target grams _totp is NULL, which
+    # would propagate NULL into every sum_bits and let a downstream
+    # top-k silently "select" the k smallest ids — a misconfigured job
+    # must FAIL, not ship an arbitrary corpus
+    # the guard lives INSIDE the kept column as the coalesce fallback —
+    # NULL is the only failure mode (per-bucket counts are ≥ 1, so a
+    # non-NULL sum is positive), coalesce's lazy second arg fires exactly
+    # then, and column pruning cannot drop it.  (An additive
+    # `assert_true` guard does NOT work: codegen'd arithmetic
+    # short-circuits on a NULL left operand and never evaluates it.)
+    tot_p = p.agg(F.sum("_tfp").cast("long").alias("_totp")).select(
+        F.coalesce(
+            F.col("_totp"),
+            F.raise_error(
+                F.lit("dsir_scores: target corpus is empty (no grams)")
+            ).cast("long"),
+        ).alias("_totp")
+    )
     tot_q = q.agg(F.sum("_tfq").cast("long").alias("_totq"))
     j = (
         db.join(F.broadcast(p), "bucket", "left")

@@ -52,18 +52,37 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     dim: int | None = None,
+    ts_col: str | None = None,
+    inclusive: bool = False,
 ) -> DataFrame:
-    q = queries.select(
+    """Exact cosine top-k: broadcast the (small by contract) query side,
+    one fold dot per pair (norms precomputed per row), window top-k.
+
+    ``ts_col`` adds the point-in-time causality constraint (see
+    ``pit_topk`` for the semantics and scale discussion) — both operators
+    share this one implementation so the machinery cannot drift."""
+    qcols = [
         F.col(id_col).alias(query_id_col),
         _as_double(vec_col).alias("_q"),
         l2_norm(_as_double(vec_col), dim).alias("_qn"),
-    )
-    c = candidates.select(
+    ]
+    ccols = [
         F.col(id_col).alias("neighbor_id"),
         _as_double(vec_col).alias("_c"),
         l2_norm(_as_double(vec_col), dim).alias("_cn"),
-    )
-    pairs = c.join(F.broadcast(q), F.col("neighbor_id") != F.col(query_id_col))
+    ]
+    cond = F.col("neighbor_id") != F.col(query_id_col)
+    if ts_col is not None:
+        qcols.append(F.col(ts_col).alias("_qts"))
+        ccols.append(F.col(ts_col).alias("_cts"))
+        causal = (
+            (F.col("_cts") <= F.col("_qts")) if inclusive
+            else (F.col("_cts") < F.col("_qts"))
+        )
+        cond = causal & cond
+    q = queries.select(*qcols)
+    c = candidates.select(*ccols)
+    pairs = c.join(F.broadcast(q), cond)
     scored = pairs.select(
         query_id_col,
         "neighbor_id",
@@ -111,35 +130,11 @@ def pit_topk(
 
     Output: ``(query_id, neighbor_id, rk, cos_sim)`` — rank ordered by
     (cosine desc, neighbor_id), rows with no admissible history are
-    absent (no NULL padding), also the as-of convention."""
-    q = queries.select(
-        F.col(id_col).alias(query_id_col),
-        F.col(ts_col).alias("_qts"),
-        _as_double(vec_col).alias("_q"),
-        l2_norm(_as_double(vec_col), dim).alias("_qn"),
-    )
-    c = candidates.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(ts_col).alias("_cts"),
-        _as_double(vec_col).alias("_c"),
-        l2_norm(_as_double(vec_col), dim).alias("_cn"),
-    )
-    causal = (
-        (F.col("_cts") <= F.col("_qts")) if inclusive else (F.col("_cts") < F.col("_qts"))
-    )
-    pairs = c.join(
-        F.broadcast(q), causal & (F.col("neighbor_id") != F.col(query_id_col))
-    )
-    scored = pairs.select(
-        query_id_col,
-        "neighbor_id",
-        _cos(F.col("_q"), F.col("_c"), F.col("_qn"), F.col("_cn"), dim).alias("cos_sim"),
-    )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), "neighbor_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= k)
-        .select(query_id_col, "neighbor_id", "rk", "cos_sim")
+    absent (no NULL padding), also the as-of convention.  Delegates to
+    ``brute_force_topk(ts_col=...)`` — one shared implementation."""
+    return brute_force_topk(
+        queries, candidates, k=k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, dim=dim, ts_col=ts_col, inclusive=inclusive,
     )
 
 

@@ -154,3 +154,10 @@ def test_gumbel_is_sampling_not_argmax(spark):
     # and each draw is reproducible
     s1b = {r.doc_id for r in gumbel_topk(scored, k=10, seed=1).collect()}
     assert s1 == s1b
+
+
+def test_empty_target_raises_not_null_scores(spark, frames):
+    raw, target = frames
+    empty = target.where("doc_id < 0")
+    with pytest.raises(Exception, match="target corpus is empty"):
+        dsir_scores(raw, empty, n_buckets=N_BUCKETS).collect()

@@ -316,7 +316,7 @@ def test_representatives_constant_scores_equal_default_rule(spark):
 # ----------------------------------------------------------- PII redaction
 
 def test_pii_redact_scrubs_and_rescreens_clean(spark):
-    from pyppi_spark.functions.text import pii_redact, pii_stats
+    from pyppi_spark.functions.text import pii_redact, pii_redaction_count, pii_stats
 
     rows = [
         (1, "mail me at jane.doe+x@corp.example.org or call +1 (555) 123-4567."),
@@ -337,6 +337,19 @@ def test_pii_redact_scrubs_and_rescreens_clean(spark):
     st = pii_stats("text")
     rescreen = red.select((st["n_email"] + st["n_phone"] + st["n_ipv4"]).alias("n"))
     assert all(r.n == 0 for r in rescreen.collect())
+    # n_redacted counts placeholders ACTUALLY inserted — the 9-digit
+    # email local part (row 3) matches the phone shape too but yields ONE
+    # placeholder, so the count must be 1, not 2
+    counts = {
+        r.doc_id: r.n
+        for r in df.select("doc_id", pii_redaction_count("text").alias("n")).collect()
+    }
+    assert counts == {1: 2, 2: 1, 3: 1, 4: 0, 5: 0}
+    for doc_id, text in got.items():
+        want = 0 if text is None else sum(
+            text.count(p) for p in ("<EMAIL>", "<PHONE>", "<IP>")
+        )
+        assert counts[doc_id] == want
 
 
 # --------------------------------------------------- PIT similarity retrieval

@@ -49,11 +49,14 @@ JOB_DESC = {
     "quarters, so the cross-node repartition a real cluster adds is the "
     "one cost not modeled (it is network-, not engine-, bound)",
     "lm": "the corpus-LM scoring class (quality_lm / DSIR family): "
-    "posexplode tokens -> per-doc lag window (bigram build) -> hashed-gram "
-    "bucketing -> broadcast-LM joins -> per-doc hash agg, via dsir_scores "
-    "over every turn's text with a deterministic 10% 'target corpus' — "
-    "exercises the explode+window+broadcast-join topology the dedup "
-    "classes don't (windows dominate; LM tables ride broadcasts)",
+    "window-free bigram build (shifted-array zip + one explode — "
+    "gram_pair_rows) -> hashed-gram bucketing -> broadcast-LM joins -> "
+    "per-doc hash agg, via dsir_scores over every turn's text with a "
+    "deterministic 10% 'target corpus' — exercises the "
+    "explode+broadcast-join+hashagg topology; NOTE the windowed "
+    "formulation of the same operator FAILED this gate (median 0.781, "
+    "DRAM-saturating token-row sorts) before the zip rewrite passed it "
+    "at 0.869 — see BENCH/BASELINE.md",
 }
 
 
@@ -248,7 +251,7 @@ JOB_CONTROL = {
     "asof_merge": "cpu",
     "winnow": "kernel",
     "lsh": "cpu",  # pure-JVM shuffle/hash-agg job — no Python workers
-    "lm": "cpu",  # pure-JVM explode/window/broadcast-join job
+    "lm": "cpu",  # pure-JVM explode/broadcast-join/hashagg job
 }
 
 # per-job session conf for the process runners. winnow: the kernel's
