@@ -1607,6 +1607,21 @@ def q_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "n_chars")
 
 
+FREQ_MIN_PPM = 2000
+
+
+def q_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (tokens >= 2000 ppm of all occurrences)
+    via the bounded-memory two-pass scheme: batch-local Misra-Gries-style
+    prune (guaranteed superset) + broadcast-candidate exact verify — the
+    boilerplate/stopword discovery pass, without the unbounded-vocabulary
+    shuffle of a naive group-by (operators/heavy_hitters.py)."""
+    from pyppi_spark.operators.heavy_hitters import frequent_tokens
+
+    docs = _documents(spark, sf_dir)
+    return frequent_tokens(docs, min_ppm=FREQ_MIN_PPM)
+
+
 def q_pit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time similarity retrieval: for each late query vector
     (vec_id >= 450; vec_id doubles as the time axis here), the top-5
@@ -1766,6 +1781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "dup_clusters": q_dup_clusters,
         "pit_topk": q_pit_topk,
+        "frequent_tokens": q_frequent_tokens,
     }
 
 
@@ -3496,5 +3512,15 @@ WITH q AS (
 )
 SELECT query_id, neighbor_id, rk::BIGINT AS rk, round(cos, 6) AS cos_sim
 FROM r WHERE rk <= 5
+""",
+        # the operator is EXACT by construction (superset prune + exact
+        # verify), so the oracle is the naive full group-by it avoids
+        "frequent_tokens": f"""
+WITH T AS (
+  SELECT unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+), TOT AS (SELECT count(*)::BIGINT AS total FROM T
+), C AS (SELECT tok, count(*)::BIGINT AS cnt FROM T GROUP BY tok)
+SELECT tok, cnt FROM C CROSS JOIN TOT
+WHERE cnt * 1000000 >= {FREQ_MIN_PPM} * total
 """,
     }

@@ -96,6 +96,7 @@ HEADLINE = [
     "dup_clusters",
     "pii_redact",
     "pit_topk",
+    "frequent_tokens",
 ]
 
 

@@ -33,6 +33,8 @@ BNLJ_ALLOWED = {
     "quality_mix",
     # two 1-row LM-total scalar cross joins (dsir_scores)
     "dsir_select",
+    # 1-row corpus-total scalar cross join (heavy_hitters verify filter)
+    "frequent_tokens",
 }
 
 ZERO_SHUFFLE = {

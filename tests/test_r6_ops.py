@@ -404,3 +404,44 @@ def test_pit_topk_no_history_rows_absent(spark):
     out = pit_topk(emb, emb, k=5, ts_col="ts", dim=2).collect()
     # vec 1 has no history -> absent; vec 2 sees only vec 1
     assert [(r.query_id, r.neighbor_id) for r in out] == [(2, 1)]
+
+
+# ------------------------------------------------------ exact heavy hitters
+
+def test_frequent_tokens_equals_naive_groupby(spark):
+    from pyspark.sql import functions as F
+    from pyppi_spark.operators.heavy_hitters import frequent_tokens
+    from pyppi_spark.operators.quality_lm import _norm_tokens
+
+    rows = [(i, "the common words appear everywhere " + f"rare{i} token{i % 17}")
+            for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(6)
+    got = sorted(
+        (r.tok, r.cnt) for r in frequent_tokens(docs, min_ppm=20000).collect()
+    )
+    toks = docs.select(F.explode(_norm_tokens("text")).alias("tok"))
+    total = toks.count()
+    naive = sorted(
+        (r.tok, r.cnt)
+        for r in toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") * 1_000_000 >= 20000 * total)
+        .collect()
+    )
+    assert got == naive and len(got) > 0
+    # partition invariance
+    got1 = sorted(
+        (r.tok, r.cnt)
+        for r in frequent_tokens(docs.coalesce(1), min_ppm=20000).collect()
+    )
+    assert got1 == naive
+
+
+def test_frequent_tokens_edge_cases(spark):
+    from pyppi_spark.operators.heavy_hitters import frequent_tokens
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert frequent_tokens(empty, min_ppm=1000).collect() == []
+    with pytest.raises(ValueError):
+        frequent_tokens(empty, min_ppm=0)
+    with pytest.raises(ValueError):
+        frequent_tokens(empty, min_ppm=2_000_000)
