@@ -59,8 +59,13 @@ def main(argv: list[str] | None = None) -> dict:
                     help="comma list of quality tiers to keep (of head,middle,tail)")
     ap.add_argument("--target-lang", default=None,
                     help="enable DSIR selection toward documents of this lang")
+    ap.add_argument("--target-buckets", default=None,
+                    help="persisted target bucket table from a previous run "
+                    "(<out>/target_buckets) — enables DSIR without re-reading "
+                    "target text (the content_keys artifact-handoff pattern)")
     ap.add_argument("--dsir-k", type=int, default=0,
-                    help="DSIR Gumbel top-k size (required with --target-lang)")
+                    help="DSIR Gumbel top-k size (required with "
+                    "--target-lang/--target-buckets)")
     ap.add_argument("--dsir-buckets", type=int, default=8192)
     ap.add_argument("--budget", action="append", default=[],
                     help="per-source token budget name=tokens (repeatable)")
@@ -75,8 +80,13 @@ def main(argv: list[str] | None = None) -> dict:
     bad = set(keep_tiers) - {"head", "middle", "tail"}
     if bad or not keep_tiers:
         raise SystemExit(f"--tiers must name head/middle/tail, got {args.tiers!r}")
-    if (args.target_lang is None) != (args.dsir_k == 0):
-        raise SystemExit("--target-lang and --dsir-k must be passed together")
+    if args.target_lang is not None and args.target_buckets is not None:
+        raise SystemExit("pass --target-lang OR --target-buckets, not both")
+    dsir_on = args.target_lang is not None or args.target_buckets is not None
+    if dsir_on != (args.dsir_k > 0):
+        raise SystemExit(
+            "--dsir-k must be passed together with --target-lang/--target-buckets"
+        )
     budgets = _parse_budgets(args.budget)
 
     spark = build_spark("select_corpus", master=args.master)
@@ -113,12 +123,28 @@ def main(argv: list[str] | None = None) -> dict:
 
     # ---- stage 2: DSIR selection toward the target slice (optional);
     # materialized (the stage-boundary readback pattern) so the corpus-
-    # wide gram scoring plan executes exactly once
-    if args.target_lang is not None:
+    # wide gram scoring plan executes exactly once. The target bucket
+    # table is persisted every run, so later runs pass --target-buckets
+    # and never re-read target text (content_keys artifact handoff).
+    if dsir_on:
+        from pyppi_spark.operators.dsir import bucket_counts, hashed_gram_occurrences
+
         pool = docs.join(kept.select(idc), idc, "semi")
-        target = docs.where(F.col("lang") == args.target_lang)
+        if args.target_buckets is not None:
+            tb = spark.read.parquet(args.target_buckets)
+        else:
+            target = docs.where(F.col("lang") == args.target_lang)
+            tb = bucket_counts(
+                hashed_gram_occurrences(
+                    target, args.dsir_buckets, text_col=txt, id_col=idc,
+                    hash_mode=args.hash_mode,
+                ),
+                id_col=idc,
+            )
+        tb.write.mode("overwrite").parquet(f"{args.output}/target_buckets")
+        tb = spark.read.parquet(f"{args.output}/target_buckets")
         ds = dsir_scores(
-            pool, target, n_buckets=args.dsir_buckets,
+            pool, target_buckets=tb, n_buckets=args.dsir_buckets,
             text_col=txt, id_col=idc, hash_mode=args.hash_mode,
         )
         sel = gumbel_topk(

@@ -98,3 +98,34 @@ def test_arg_validation():
         main(["--documents", "x", "--output", "y", "--tiers", "gold"])
     with pytest.raises(SystemExit):
         main(["--documents", "x", "--output", "y", "--budget", "webonly"])
+
+
+def test_target_buckets_artifact_handoff(spark, job_out):
+    """A rerun consuming run 1's persisted target_buckets (never reading
+    target text) must produce the identical selection."""
+    base, docs, out, argv, _ = job_out
+    out3 = str(base / "out3")
+    argv3 = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--target-lang":
+            argv3 += ["--target-buckets", f"{out}/target_buckets"]
+            i += 2
+        elif argv[i] == out:
+            argv3.append(out3); i += 1
+        else:
+            argv3.append(argv[i]); i += 1
+    _run(argv3)
+    a = sorted(r.doc_id for r in spark.read.parquet(f"{out}/selected").collect())
+    b = sorted(r.doc_id for r in spark.read.parquet(f"{out3}/selected").collect())
+    assert a == b
+
+
+def test_target_buckets_arg_conflicts():
+    from jobs.select_corpus import main
+
+    with pytest.raises(SystemExit):
+        main(["--documents", "x", "--output", "y", "--target-lang", "en",
+              "--target-buckets", "z", "--dsir-k", "5"])
+    with pytest.raises(SystemExit):
+        main(["--documents", "x", "--output", "y", "--target-buckets", "z"])
