@@ -7,8 +7,11 @@ from .sessions import (
     streaming_turn_counts,
 )
 from .dedup import incremental_dedup_batch, streaming_incremental_dedup
+from .quality import quality_filter_batch, streaming_quality_filter
 
 __all__ = [
+    "quality_filter_batch",
+    "streaming_quality_filter",
     "running_state_batch",
     "session_window_aggregates",
     "streaming_exact_dedup",
