@@ -1838,10 +1838,10 @@ GROUP BY user_id
 """
 
 
-_NORM = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+_NORM = r"regexp_replace(lower(trim(text)), '[ \t\n\r\f\x0B]+', ' ', 'g')"
 # the engine's BPE_TOKEN_PATTERN verbatim (RE2-compatible by construction)
 from pyppi_spark.functions.text import BPE_TOKEN_PATTERN as _BPE_PAT  # noqa: E402
-_NORM_COALESCED = r"regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g')"
+_NORM_COALESCED = r"regexp_replace(lower(trim(coalesce(text, ''))), '[ \t\n\r\f\x0B]+', ' ', 'g')"
 _H32 = "('0x'||substr(md5({x}),1,8))::BIGINT"
 
 # the PII patterns are RE2-compatible by construction (functions/text.py)
@@ -2194,7 +2194,7 @@ WITH RECURSIVE QL AS (
 ), X AS (
   SELECT doc_id, text, quality, lang_pred FROM (
     SELECT *, row_number() OVER (
-      PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+      PARTITION BY regexp_replace(lower(trim(text)), '[ \t\n\r\f\x0B]+', ' ', 'g')
       ORDER BY doc_id) AS rn
     FROM K) WHERE rn = 1
 ), W AS (
@@ -2540,12 +2540,12 @@ GROUP BY l_returnflag, l_linestatus
         "dedup_exact": r"""
 SELECT min(doc_id) AS doc_id
 FROM documents
-GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+GROUP BY regexp_replace(lower(trim(text)), '[ \t\n\r\f\x0B]+', ' ', 'g')
 """,
         "text_stats": rf"""
 SELECT doc_id,
   (CASE WHEN length(trim(text)) = 0 THEN 0
-        ELSE len(string_split_regex(trim(text), '\s+')) END)::BIGINT AS n_tokens,
+        ELSE len(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+')) END)::BIGINT AS n_tokens,
   length(text)::BIGINT AS n_chars,
   round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
         / greatest(length(text), 1), 6) AS alpha_ratio,
@@ -2555,7 +2555,7 @@ SELECT doc_id,
       + 0.4 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / greatest(length(text), 1))
       + 0.2 * (1.0 - least((length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / greatest(length(text), 1)) * 4.0, 1.0)), 6) AS quality,
   {lang_case} AS lang_pred,
-  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+  md5(regexp_replace(lower(trim(text)), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS fingerprint
 FROM (SELECT doc_id, text, {score_cols} FROM (SELECT doc_id, text FROM documents))
 """,
         "similarity_topk": """
@@ -2742,7 +2742,7 @@ FROM H
         "token_stats": rf"""
 SELECT doc_id,
   coalesce(CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len(string_split_regex(trim(text), '\s+')) END, 0)::BIGINT AS n_ws_tokens,
+                ELSE len(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+')) END, 0)::BIGINT AS n_ws_tokens,
   coalesce(len(regexp_extract_all(text, '{_BPE_PAT}')), 0)::BIGINT AS n_bpe_tokens,
   round(coalesce(length(text), 0)::DOUBLE
         / greatest(coalesce(len(regexp_extract_all(text, '{_BPE_PAT}')), 0), 1), 6)
@@ -2779,7 +2779,7 @@ WITH S AS (
   SELECT {lang_case} AS lang_pred,
     (text IS NULL)::BIGINT AS _null,
     coalesce(CASE WHEN length(trim(text)) = 0 THEN 0
-                  ELSE len(string_split_regex(trim(text), '\s+')) END, 0)::BIGINT AS _ws,
+                  ELSE len(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+')) END, 0)::BIGINT AS _ws,
     coalesce(len(regexp_extract_all(text, '{_BPE_PAT}')), 0)::BIGINT AS _bpe,
     (coalesce(len(regexp_extract_all(text, '{PII_SQL["email"]}')), 0) > 0
      OR coalesce(len(regexp_extract_all(text, '{PII_SQL["phone"]}')), 0) > 0
@@ -2848,7 +2848,7 @@ WHERE doc_id NOT IN (SELECT DISTINCT a FROM PO)
 WITH T AS (
   SELECT doc_id,
          coalesce(CASE WHEN length(trim(text)) = 0 THEN 0
-                       ELSE len(string_split_regex(trim(text), '\s+')) END, 0)::BIGINT AS nt,
+                       ELSE len(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+')) END, 0)::BIGINT AS nt,
          ('0x' || substr(md5('42|' || doc_id::VARCHAR), 1, 8))::BIGINT AS h
   FROM documents
 ), G AS (
@@ -2934,7 +2934,7 @@ WHERE doc_id NOT IN (SELECT a FROM PO)
 WITH RECURSIVE X AS (
   SELECT doc_id, text FROM (
     SELECT doc_id, text, row_number() OVER (
-      PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+      PARTITION BY regexp_replace(lower(trim(text)), '[ \t\n\r\f\x0B]+', ' ', 'g')
       ORDER BY doc_id) AS rn
     FROM documents) WHERE rn = 1
 ), N AS (
@@ -3244,7 +3244,7 @@ FROM B
         # green ngram_near_dedup oracle rests on) x the md5 split banding
         "split_leakage": r"""
 WITH W AS (
-  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws FROM documents
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '[ \t\n\r\f\x0B]+', ' ', 'g'), ' ') AS ws FROM documents
 ), S AS (
   SELECT doc_id,
     CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
@@ -3410,7 +3410,7 @@ LIMIT {DSIR_K}
         # recursive-CTE components, keep max n_chars / tie min doc_id
         "quality_dedup": r"""
 WITH RECURSIVE W AS (
-  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '[ \t\n\r\f\x0B]+', ' ', 'g'), ' ') AS ws
   FROM documents
 ), S AS (
   SELECT doc_id,
@@ -3469,7 +3469,7 @@ FROM S2
         # pair + recursive-CTE component machinery as quality_dedup
         "dup_clusters": r"""
 WITH RECURSIVE W AS (
-  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '[ \t\n\r\f\x0B]+', ' ', 'g'), ' ') AS ws
   FROM documents
 ), S AS (
   SELECT doc_id,

@@ -129,9 +129,27 @@ def main(argv: list[str] | None = None) -> dict:
     if dsir_on:
         from pyppi_spark.operators.dsir import bucket_counts, hashed_gram_occurrences
 
+        tb_params = {"n_buckets": args.dsir_buckets, "hash_mode": args.hash_mode}
         pool = docs.join(kept.select(idc), idc, "semi")
         if args.target_buckets is not None:
-            tb = spark.read.parquet(args.target_buckets)
+            # the sidecar pins the hash parameters the table was binned
+            # with — consuming it under a different n_buckets/hash_mode
+            # would not error (unmatched buckets take the OOV floor), it
+            # would silently rank documents by noise
+            got = json.loads(
+                spark.read.parquet(f"{args.target_buckets}_params")
+                .collect()[0]["params_json"]
+            )
+            if got != tb_params:
+                raise SystemExit(
+                    f"--target-buckets was built with {got}, this run uses "
+                    f"{tb_params}; pass matching --dsir-buckets/--hash-mode"
+                )
+            # localCheckpoint BEFORE the overwrite below: a lazy read
+            # whose source path equals the destination (retry-in-place
+            # with --target-buckets <out>/target_buckets) would otherwise
+            # DELETE its own source files before reading them
+            tb = spark.read.parquet(args.target_buckets).localCheckpoint()
         else:
             target = docs.where(F.col("lang") == args.target_lang)
             tb = bucket_counts(
@@ -142,6 +160,9 @@ def main(argv: list[str] | None = None) -> dict:
                 id_col=idc,
             )
         tb.write.mode("overwrite").parquet(f"{args.output}/target_buckets")
+        spark.createDataFrame(
+            [(json.dumps(tb_params, sort_keys=True),)], "params_json string"
+        ).write.mode("overwrite").parquet(f"{args.output}/target_buckets_params")
         tb = spark.read.parquet(f"{args.output}/target_buckets")
         ds = dsir_scores(
             pool, target_buckets=tb, n_buckets=args.dsir_buckets,

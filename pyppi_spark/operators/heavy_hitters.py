@@ -13,9 +13,16 @@ pass 1 (map-side only, no shuffle of occurrences): per Arrow batch,
 an averaging argument makes the union across batches a SUPERSET of every
 global heavy hitter (if a token's count were below the ppm line in every
 batch, summing gives count below the line globally), and per batch at
-most ``10^6/min_ppm`` candidates survive, so memory is bounded by
-construction.  The same pass emits one total-row per batch, so the
-corpus token total needs no extra scan.
+most ``10^6/min_ppm`` candidates survive, so WORKER memory is bounded by
+construction.  The cross-batch UNION is not intrinsically bounded — a
+heterogeneous corpus (per-language/per-domain shards, each with its own
+locally-frequent tokens) can push it far past the per-batch bound — so
+the candidate count is checked while the candidate relation is collected
+for broadcast (before it ships to executors) and the operator FAILS with
+a remedy (raise ``min_ppm`` or ``max_candidates``) instead of silently
+shipping an over-threshold broadcast; same no-silent-caps policy as the
+LSH ``hot_bucket='error'`` mode.  The same pass emits one
+total-row per batch, so the corpus token total needs no extra scan.
 
 pass 2: one more scan joins occurrences against the BROADCAST candidate
 set and counts exactly — the only aggregation key left is the (tiny)
@@ -48,6 +55,7 @@ def frequent_tokens(
     docs: DataFrame,
     min_ppm: int,
     text_col: str = "text",
+    max_candidates: int = 1_000_000,
 ) -> DataFrame:
     """All tokens whose corpus occurrence share is at least
     ``min_ppm`` parts per million, with EXACT counts: ``(tok, cnt)``.
@@ -75,11 +83,39 @@ def frequent_tokens(
                 }
             )
 
-    p1 = toks.mapInPandas(prune, "tok string, batch_total long").localCheckpoint()
+    # lazy: materializes once on first action, reused by totals +
+    # candidates + the cap check (eager would run the corpus scan at
+    # DataFrame-construction time, e.g. under a plan-only explain)
+    p1 = toks.mapInPandas(prune, "tok string, batch_total long").localCheckpoint(
+        eager=False
+    )
     total_df = p1.agg(F.sum("batch_total").cast("long").alias("_total"))
     cands = p1.where(F.col("tok").isNotNull()).select("tok").distinct()
+    # candidate-volume guard, folded INTO the broadcast side: the
+    # raise_error fires while the candidate relation is being collected
+    # for broadcast — i.e. before it ships to executors — and building
+    # the plan stays action-free (an up-front .count() would run the
+    # whole pass-1 scan at DataFrame-construction time, e.g. under a
+    # plan-only explain)
+    ccnt = cands.agg(F.count(F.lit(1)).alias("_nc"))
+    guarded = cands.crossJoin(F.broadcast(ccnt)).select(
+        F.coalesce(
+            F.when(F.col("_nc") <= F.lit(max_candidates), F.col("tok")),
+            F.raise_error(
+                F.concat(
+                    F.lit("frequent_tokens: "), F.col("_nc").cast("string"),
+                    F.lit(
+                        f" candidates exceed max_candidates={max_candidates}"
+                        " — the corpus is too heterogeneous for this"
+                        " min_ppm's per-batch prune; raise min_ppm (or"
+                        " max_candidates if the broadcast can take it)"
+                    ),
+                )
+            ),
+        ).alias("tok")
+    )
     exact = (
-        toks.join(F.broadcast(cands), "tok")
+        toks.join(F.broadcast(guarded), "tok")
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )

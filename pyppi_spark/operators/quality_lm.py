@@ -38,9 +38,16 @@ from pyspark.sql import DataFrame, Window, functions as F
 def _norm_tokens(text_col: str) -> F.Column:
     """Whitespace tokens of the lowercased, space-collapsed text — the
     repo-wide normalization (empty text yields the single '' token, the
-    established empty-gram convention; it scores like any vocab entry)."""
+    established empty-gram convention; it scores like any vocab entry).
+
+    The whitespace class is EXPLICIT ``[ \\t\\n\\r\\f\\x0B]`` — exactly
+    Java's ``\\s`` (so this is behavior-identical on the Spark side) but
+    NOT RE2's ``\\s``, which excludes vertical tab: oracles interpolate
+    the same class so a ``\\x0B`` in a document cannot make the engines
+    tokenize differently (the BPE_TOKEN_PATTERN rule, CLAUDE.md)."""
     return F.split(
-        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"[ \t\n\r\f\x0B]+", " "),
+        " ",
     )
 
 

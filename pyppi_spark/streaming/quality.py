@@ -36,13 +36,16 @@ def quality_filter_batch(
     high_bits: float,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> int:
+    count_survivors: bool = True,
+) -> int | None:
     """The ``foreachBatch`` body, exposed as a plain function so it is
     testable (and reusable from a batch driver) without a streaming
     query: score the batch against the frozen vocab, keep the
     ``[low_bits, high_bits]`` mean-surprisal band, write survivors (with
     their scores, for audit) under ``batch_id=<n>``. Returns the number
-    of survivors."""
+    of survivors, or None with ``count_survivors=False`` — the streaming
+    wiring passes False so the hot path never pays a read-back count
+    job whose result nobody consumes."""
     spark = batch_df.sparkSession
     vocab = spark.read.parquet(vocab_path)
     scored = unigram_surprisal(
@@ -52,6 +55,8 @@ def quality_filter_batch(
     out = batch_df.join(kept.select(id_col, "n_tokens", "mean_bits"), id_col)
     out_path = f"{output_dir}/batch_id={batch_id}"
     out.write.mode("overwrite").parquet(out_path)
+    if not count_survivors:
+        return None
     return spark.read.parquet(out_path).count()
 
 
@@ -80,6 +85,7 @@ def streaming_quality_filter(
             high_bits,
             id_col=id_col,
             text_col=text_col,
+            count_survivors=False,
         )
 
     return (
