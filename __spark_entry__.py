@@ -1152,7 +1152,13 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyppi_spark.operators.dedup import winnow_candidate_pairs, winnow_fingerprints_kernel
 
     docs = _documents(spark, sf_dir)
-    fp = winnow_fingerprints_kernel(docs, k=7, window=4, hash_mode="portable")
+    # same split-spread as q_winnow: the testdata parquet is one row group
+    # (one scan split), so without the repartition the md5-per-gram kernel
+    # runs on a single core (measured 15 s vs ~2 s at sf1.0)
+    fp = winnow_fingerprints_kernel(
+        docs, k=7, window=4, hash_mode="portable",
+        repartition_to=spark.sparkContext.defaultParallelism,
+    )
     # max_bucket_size is NOT optional at scale: a fingerprint shared by m
     # docs emits m(m-1)/2 join rows (uncapped measured 39 s vs 2.3 s at
     # sf0.1 — boilerplate k-grams are the dominant bucket class), and
@@ -1328,6 +1334,8 @@ def q_moss_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = moss_dedup_documents(
         docs, k=7, window=4, min_shared=10, min_overlap_frac=0.5,
         max_bucket_size=200, hash_mode="portable",
+        # spread the one-row-group scan across cores (doc-local kernel)
+        repartition_to=spark.sparkContext.defaultParallelism,
     )
     return out.select("doc_id")
 
@@ -1366,6 +1374,8 @@ def q_moss_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = moss_dedup_incremental(
         step1, old_fps=old_fps, k=7, window=4, min_shared=10,
         min_overlap_frac=0.5, max_bucket_size=200, hash_mode="portable",
+        # spread the one-row-group scan across cores (doc-local kernel)
+        repartition_to=spark.sparkContext.defaultParallelism,
     )
     return out.select("doc_id")
 
@@ -1447,13 +1457,17 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyppi_spark.operators.span_dedup import WS_CLASS, line_dedup
 
     docs = _documents(spark, sf_dir)
-    toks = F.split(F.trim(F.col("text")), WS_CLASS)
-    n_lines = F.ceil(F.size(toks) / F.lit(8)).cast("int")
-    lines = F.transform(
-        F.sequence(F.lit(0), n_lines - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i * F.lit(8) + 1, 8)),
-    )
-    ml = docs.select("doc_id", F.concat_ws("\n", lines).alias("text"))
+    # re-line via pure codegen regex instead of the interpreted
+    # transform-over-sequence lambda (measured ~3 s/eval at sf1.0, and the
+    # view is evaluated once per scan of ml): split+join with " " ==
+    # replacing every separator RUN with one space; the line structure ==
+    # replacing every 8th single space with a newline (empty tokens from
+    # leading \t/\n survive as empty [^ ]* matches, exactly like the
+    # concat_ws re-assembly). concat_ws returned '' for NULL arrays, so
+    # NULL text coalesces to '' to keep the view value-identical.
+    norm = F.regexp_replace(F.trim(F.col("text")), WS_CLASS, " ")
+    relined = F.regexp_replace(norm, r"((?:[^ ]* ){7}[^ ]*) ", "$1\n")
+    ml = docs.select("doc_id", F.coalesce(relined, F.lit("")).alias("text"))
     out = line_dedup(ml, min_line_chars=8, hash_mode="portable")
     return out.select("doc_id", "text_clean", "n_lines_dropped")
 

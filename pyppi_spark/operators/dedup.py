@@ -592,8 +592,12 @@ def ngram_jaccard_pairs(
     Physical shape (all codegen — the ``transform``-built shingle arrays
     were interpreted and measured ~1 ms/doc):
 
-    1. shingle ROWS per candidate document (semi-join prune first):
-       ``posexplode(split)`` words → ``lead`` window builds each gram as a
+    1. shingle ROWS per candidate document (semi-join prune first): the
+       token array zipped with its own left-shifted copies
+       (``slice``+``concat`` — plain collection exprs, codegen) and
+       exploded ONCE, so row i carries (w_i … w_{i+n−1}) with NO per-doc
+       window — no token-row exchange+sort, no giant-document sort
+       straggler (the quality_lm shifted-array-zip lesson); the gram is a
        plain string concat — identity is the exact gram text;
     2. set sizes = one count per doc;
     3. |∩| per pair = candidate_pairs ⋈ grams(a) ⋈ grams(b) matched on the
@@ -601,26 +605,33 @@ def ngram_jaccard_pairs(
        overlap drop out before the threshold filter, which they could
        never pass).
     """
+    # no .distinct(): the left_semi join below never multiplies left rows
+    # for duplicate right keys, so the extra exchange+agg bought nothing
     cand_ids = (
         candidate_pairs.select(F.col("a").alias(id_col))
         .unionByName(candidate_pairs.select(F.col("b").alias(id_col)))
-        .distinct()
     )
-    words = (
-        df.join(cand_ids, id_col, "left_semi")
-        .select(
-            F.col(id_col),
-            F.posexplode(F.split(_normalize(F.col(text_col)), " ")).alias("_pos", "_w0"),
+    toks = F.split(_normalize(F.col(text_col)), " ")
+    n_w = F.size(toks)
+    shifts = [toks.alias("_w0")]
+    for j in range(1, shingle_n):
+        shifts.append(
+            F.concat(
+                F.slice(toks, j + 1, F.greatest(n_w - F.lit(j), F.lit(0))),
+                F.array_repeat(F.lit(None).cast("string"), F.lit(j)),
+            ).alias(f"_w{j}")
         )
-    )
-    w = Window.partitionBy(id_col).orderBy("_pos")
-    lead_cols = [F.lead("_w0", j).over(w).alias(f"_w{j}") for j in range(1, shingle_n)]
     sh = (
-        words.select(F.col(id_col), "_pos", "_w0", *lead_cols)
-        .where(F.col(f"_w{shingle_n - 1}").isNotNull() | (F.col("_pos") == 0))
+        df.join(cand_ids, id_col, "left_semi")
+        .select(F.col(id_col), F.posexplode(F.arrays_zip(*shifts)).alias("_pos", "_s"))
+        .where(
+            F.col(f"_s._w{shingle_n - 1}").isNotNull() | (F.col("_pos") == 0)
+        )
         .select(
             F.col(id_col),
-            F.concat_ws(" ", *[f"_w{j}" for j in range(shingle_n)]).alias("_g"),
+            F.concat_ws(
+                " ", *[F.col(f"_s._w{j}") for j in range(shingle_n)]
+            ).alias("_g"),
         )
         .dropDuplicates([id_col, "_g"])
     )
@@ -743,6 +754,117 @@ def star_components(
     )
 
 
+def _uf_mapping_kernel():
+    """mapInPandas factory: exact connected components of THIS PARTITION's
+    edge rows (s, d) via union-find with path compression and union-by-min
+    (the smaller root always wins, so every tree root is its component's
+    min id — the repo-wide representative rule). Emits one (node, root)
+    row per distinct node seen. Duplicate and self edges are tolerated, so
+    callers skip the ``distinct()`` shuffle entirely."""
+    import pandas as pd
+
+    def kernel(batches):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while True:
+                p = parent.get(r, r)
+                if p == r:
+                    break
+                r = p
+            while x != r:
+                parent[x], x = r, parent.get(x, x)
+            return r
+
+        for b in batches:
+            for s, d in zip(b["s"].tolist(), b["d"].tolist()):
+                if s == d:
+                    # self edges carry no connectivity; dropping them (not
+                    # registering the node) matches _symmetric_edges'
+                    # s != d filter, so a self-loop-only node gets no row
+                    continue
+                rs, rd = find(s), find(d)
+                if rs == rd:
+                    continue
+                if rs < rd:
+                    parent[rd] = rs
+                    parent.setdefault(rs, rs)
+                else:
+                    parent[rs] = rd
+                    parent.setdefault(rd, rd)
+        nodes = list(parent)
+        if nodes:
+            yield pd.DataFrame({"node": nodes, "root": [find(x) for x in nodes]})
+
+    return kernel
+
+
+def partition_components(
+    dup_pairs: DataFrame,
+    single_partition_max_edges: int = 5_000_000,
+) -> DataFrame:
+    """Connected components by TWO-PHASE PARTITION CONTRACTION → (node,
+    label), label = component min — the same output contract as
+    ``near_dup_components`` at a fraction of the cost on dense graphs:
+
+    1. one ``mapInPandas`` union-find pass over the raw pair rows (no
+       symmetric union, no distinct, no per-round join/checkpoint/digest
+       jobs) collapses every partition's edges into (node, local-min-root)
+       rows;
+    2. a node seen by several partitions links all its local roots — those
+       links form the CONTRACTED graph, which is tiny for near-dup graphs
+       (dense almost-cliques collapse to a handful of roots per
+       partition); it is solved exactly by one single-partition union-find
+       pass (coarsened by extra distributed passes first if it is ever
+       larger than ``single_partition_max_edges``);
+    3. labels compose back: label(node) = contracted-label(min local
+       root), coalescing to the root itself for components that never
+       crossed a partition.
+
+    Exactness does not depend on the input partitioning (components are a
+    set property); the label-propagation round cost it replaces was
+    2·|E|·rounds join rows plus a checkpoint+digest job pair per round —
+    measured 9 s vs ~1 s on the sf1.0 embedding pair graph."""
+    spark = dup_pairs.sparkSession
+    id_type = dup_pairs.schema["a"].dataType.simpleString()
+    kernel = _uf_mapping_kernel()
+    schema = f"node {id_type}, root {id_type}"
+    cur = dup_pairs.select(F.col("a").alias("s"), F.col("b").alias("d"))
+    maps = []
+    parts = spark.sparkContext.defaultParallelism
+    for _ in range(64):  # far above any real coarsening depth (log_8 E)
+        m = cur.mapInPandas(kernel, schema=schema)
+        mr = (
+            m.groupBy("node")
+            .agg(F.min("root").alias("root"), F.collect_set("root").alias("_rs"))
+            .localCheckpoint(eager=True)
+        )
+        maps.append(mr.select("node", "root"))
+        links = mr.where(F.size("_rs") > 1)
+        contracted = (
+            links.select(
+                F.array_min("_rs").alias("s"), F.explode("_rs").alias("d")
+            ).where(F.col("s") != F.col("d"))
+        )
+        n_links = contracted.count()
+        if n_links == 0:
+            break
+        parts = 1 if n_links <= single_partition_max_edges else max(1, parts // 8)
+        cur = contracted.repartition(parts)
+    else:
+        raise RuntimeError("partition_components did not converge (bug)")
+    lab = maps[-1].select("node", F.col("root").alias("label"))
+    for mr_prev in reversed(maps[:-1]):
+        lab = (
+            mr_prev.join(
+                lab.select(F.col("node").alias("root"), "label"), "root", "left"
+            )
+            .select("node", F.coalesce("label", "root").alias("label"))
+        )
+    return lab
+
+
 def near_dup_components(
     dup_pairs: DataFrame,
     max_iters: int = 25,
@@ -763,18 +885,24 @@ def near_dup_components(
     - ``"star"``: alternating large-star/small-star (``star_components``),
       O(log n) rounds on any graph — the right tool for adversarially long
       chains.
-    - ``"auto"`` (default): label propagation first; if the diameter
-      exceeds ``max_iters`` it falls back to star contraction instead of
-      raising (pathological graphs converge instead of killing the
-      pipeline).
+    - ``"partition"``: two-phase partition contraction
+      (``partition_components``) — one union-find ``mapInPandas`` pass
+      per coarsening level, no per-round join/checkpoint/digest jobs;
+      converges in a BOUNDED number of passes (usually 2) on any graph.
+    - ``"auto"`` (default): ``partition_components`` — exact on any graph,
+      cheapest measured on both sparse doc graphs and dense embedding
+      pair graphs, and free of the diameter budget that made the old
+      label-then-star fallback necessary.
 
     ``localCheckpoint`` truncates the lineage each round (an iterative plan
     otherwise grows exponentially), and convergence is detected by a
     content hash of the label set (labels only ever decrease, so an
     unchanged hash means a fixpoint).
     """
-    if algorithm not in ("label", "star", "auto"):
+    if algorithm not in ("label", "star", "auto", "partition"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
+    if algorithm in ("auto", "partition"):
+        return partition_components(dup_pairs)
     if algorithm == "star":
         return star_components(dup_pairs, max_iters=star_max_iters)
     edges = _symmetric_edges(dup_pairs)
@@ -799,11 +927,6 @@ def near_dup_components(
             break
         prev = digest
     if not converged:
-        if algorithm == "auto":
-            # component diameter exceeds the label-propagation budget —
-            # switch to the O(log n) star contraction from the original
-            # edges (partial labels are discarded; correctness first)
-            return star_components(dup_pairs, max_iters=star_max_iters)
         # non-converged labels silently under-merge duplicate clusters —
         # fail loudly instead
         raise RuntimeError(
@@ -841,9 +964,9 @@ def near_dedup_representatives(
     membership is tiny relative to the corpus (only docs in ≥1 pair).
 
     ``max_iters``/``algorithm``/``star_max_iters`` pass through to
-    ``near_dup_components`` — with the default ``algorithm="auto"`` a
-    duplicate chain deeper than ``max_iters`` falls back to the O(log n)
-    star contraction instead of raising.
+    ``near_dup_components`` — the default ``algorithm="auto"`` runs the
+    two-phase partition contraction (``partition_components``), exact on
+    any graph in a bounded number of passes (no diameter budget).
 
     ``transitive=False`` restores the cheaper pair-loser rule (drop every
     doc appearing as the larger id of a pair) — exact only when clusters

@@ -624,6 +624,11 @@ def threshold_pairs_exact(
         raise ValueError("n_blocks must be >= 1")
     id_type = df.schema[id_col].dataType.simpleString()
     side = df.select(F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v"))
+    # the O(n²·d) matmul lives in the mapInPandas over THIS side — testdata
+    # parquet is one row group (one scan partition), which would serialize
+    # the whole prune onto a single core; spread the (id, vec) rows across
+    # the cluster first (tiny shuffle, scale-adaptive width)
+    stream = side.repartition(spark.sparkContext.defaultParallelism)
     cut = threshold - guard
     cand_schema = f"a {id_type}, b {id_type}"
 
@@ -658,7 +663,7 @@ def threshold_pairs_exact(
         # ship the block as a real Spark broadcast — one copy per executor,
         # not re-pickled into every task closure
         bc = spark.sparkContext.broadcast((ids, Mn))
-        blk_cand = side.mapInPandas(make_prune(bc), schema=cand_schema)
+        blk_cand = stream.mapInPandas(make_prune(bc), schema=cand_schema)
         if n_blocks > 1:
             # run this block's prune NOW and pin only its (small) survivor
             # set, so the next block's broadcast replaces — not stacks on —
@@ -733,6 +738,8 @@ def semantic_dedup_pairs(
     vec_col: str = "embedding",
     dim: int | None = None,
     assign_strategy: str = "blas",
+    guard: float = 1e-6,
+    block_budget_bytes: int = 512 * 1024 * 1024,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
     arXiv:2303.09540): assign every vector to its nearest k-means
@@ -744,24 +751,145 @@ def semantic_dedup_pairs(
     documented (a pair straddling a cell boundary), not random.
 
     100 TB shape: pairwise work is Σ|cell|² instead of N² — with
-    k ≈ N / target_cell_size the join stays linear-ish in N; the
-    candidate stage is one fixed-width equi self-join on the cell id
-    (AQE-skew-splittable, same family as LSH banding), the cosine lives
-    in a projection ABOVE the join, never in the join condition (the BNLJ
-    trap — see BENCH/BASELINE.md). Assignment crosses Arrow once per
-    vector via one dense matmul per batch (``assign_strategy='blas'``,
-    the >=~64-centroid path) or stays JVM-side with literal-centroid
-    folds (``'expr'``); both use the identical tie order (descending sim,
-    then descending centroid id), so results are strategy-independent.
-    Train centroids with ``train_centroids`` (Spark sample) or
+    k ≈ N / target_cell_size the scoring stays linear-ish in N.
+    ``assign_strategy='blas'`` (the production path) scores within-cell
+    pairs the same two-phase way as ``threshold_pairs_exact``: a
+    ``mapInPandas`` BLAS prune (one dense matmul per (batch, cell) slice
+    against the broadcast same-cell matrix, guarded by ``guard``) emits
+    only candidate pairs, and the small survivor set is re-verified with
+    the exact JVM fold dot over the kernel's numpy norms — bitwise
+    identical to the naive within-cell join, at O(survivors) join cost
+    instead of materializing Σ|cell|² vector-carrying rows (a cell
+    self-join puts the interpreted HOF cosine in the join condition —
+    the BNLJ trap, see BENCH/BASELINE.md). The broadcast matrix side is
+    blocked by ``block_budget_bytes`` (sequential passes, peak memory
+    one block — the threshold_pairs_exact contract). ``'expr'`` keeps
+    the pure-JVM cell self-join (no Python workers); both use the
+    identical assignment tie order (descending sim, then descending
+    centroid id), so results are strategy-independent. Train centroids
+    with ``train_centroids`` (Spark sample) or
     ``train_centroids_from_file`` (oracle-pinnable pure function of the
     parquet)."""
+    import math
+
+    import pandas as pd
+
     if dim is None:
         raise ValueError("pass the embedding dim explicitly (e.g. dim=64)")
     if assign_strategy == "blas":
+        spark = df.sparkSession
         assigned = _assign_cells_blas(df, "x", id_col, vec_col, centroids, 1)
         assigned = assigned.select(
             "x", "_v", "_n", F.element_at("_cells", 1).alias("_cell")
+        )
+        # materialize the assignment ONCE (scale-adaptive width — the
+        # testdata parquet is one row group, i.e. one scan partition): it
+        # feeds the broadcast collect, the prune stream, and both verify
+        # sides below; without the checkpoint the mapInPandas assignment
+        # would re-run four times
+        assigned = assigned.repartition(
+            spark.sparkContext.defaultParallelism
+        ).localCheckpoint(eager=True)
+        n_rows = df.count()  # parquet-metadata cheap
+        approx_bytes = 2 * n_rows * dim * 8
+        n_blocks = max(1, math.ceil(approx_bytes / block_budget_bytes))
+        id_type = df.schema[id_col].dataType.simpleString()
+        cut = threshold - guard
+        cand_schema = f"a {id_type}, b {id_type}, _cell int"
+
+        def make_prune(bc):
+            def prune(batches):
+                groups = bc.value  # {cell: (ids, normalized matrix)}
+                for bt in batches:
+                    if not len(bt):
+                        continue
+                    cells = bt["_cell"].to_numpy()
+                    ids_a = bt["x"].to_numpy()
+                    V = np.stack(bt["_v"].to_numpy()).astype(np.float64)
+                    Vn = V / np.maximum(
+                        np.linalg.norm(V, axis=1, keepdims=True), 1e-300
+                    )
+                    for c in np.unique(cells):
+                        grp = groups.get(int(c))
+                        if grp is None:
+                            continue
+                        b_ids, Mn = grp
+                        sel = cells == c
+                        S = Vn[sel] @ Mn.T
+                        ai, bi = np.nonzero(S >= cut)
+                        if not len(ai):
+                            continue
+                        a_arr = ids_a[sel][ai]
+                        b_arr = b_ids[bi]
+                        keep = a_arr < b_arr
+                        if not keep.any():
+                            continue
+                        yield pd.DataFrame(
+                            {
+                                "a": a_arr[keep],
+                                "b": b_arr[keep],
+                                "_cell": np.full(
+                                    int(keep.sum()), c, dtype="int32"
+                                ),
+                            }
+                        )
+
+            return prune
+
+        # blocks partition the MATRIX side (every (a, b) pair is scored in
+        # exactly the one pass owning b), so peak broadcast memory is one
+        # block regardless of N — same contract as threshold_pairs_exact
+        cand = None
+        for blk in range(n_blocks):
+            block_side = (
+                assigned
+                if n_blocks == 1
+                else assigned.where(F.pmod(F.xxhash64("x"), F.lit(n_blocks)) == blk)
+            )
+            pdf = block_side.select("x", "_cell", "_v").toPandas()
+            if not len(pdf):
+                continue
+            groups = {}
+            for c, sub in pdf.groupby("_cell"):
+                M = np.stack(sub["_v"].to_numpy()).astype(np.float64)
+                Mn = M / np.maximum(
+                    np.linalg.norm(M, axis=1, keepdims=True), 1e-300
+                )
+                groups[int(c)] = (sub["x"].to_numpy(), Mn)
+            bc = spark.sparkContext.broadcast(groups)
+            blk_cand = assigned.select("x", "_v", "_cell").mapInPandas(
+                make_prune(bc), schema=cand_schema
+            )
+            if n_blocks > 1:
+                blk_cand = blk_cand.localCheckpoint(eager=True)
+                bc.destroy()
+            cand = blk_cand if cand is None else cand.unionByName(blk_cand)
+        if cand is None:
+            return spark.createDataFrame(
+                [], f"a {id_type}, b {id_type}, cos_sim double, cell int"
+            )
+        # verify: survivors re-scored with the JVM fold dot over the SAME
+        # kernel-computed numpy norms the join form used — bitwise
+        # identical cos_sim, exact >= threshold boundary; cost is
+        # O(survivors), not O(Σ|cell|²)
+        va = assigned.select(
+            F.col("x").alias("a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+        )
+        vb = assigned.select(
+            F.col("x").alias("b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+        )
+        return (
+            cand.join(va, "a")
+            .join(vb, "b")
+            .withColumn(
+                "cos_sim",
+                _cos(F.col("_va"), F.col("_vb"), F.col("_na"), F.col("_nb"), dim),
+            )
+            .where(F.col("cos_sim") >= threshold)
+            .select(
+                "a", "b", F.round("cos_sim", 6).alias("cos_sim"),
+                F.col("_cell").cast("int").alias("cell"),
+            )
         )
     elif assign_strategy == "expr":
         base = df.select(

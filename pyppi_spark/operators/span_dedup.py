@@ -252,67 +252,67 @@ def line_dedup(
     ``text_clean`` (kept lines re-joined with newlines — lossless for
     untouched documents) and ``n_lines_dropped``.
 
-    Shape: explode lines → one hash-aggregate on the fixed-width
-    ``(line_hash, line length)`` key (map-side partials absorb hot
-    lines) → equi join keeper ids back → per-doc ordered re-assembly.
-    Two Exchanges, both on fine keys; no window over a corpus-scale
-    partition."""
+    Shape (LOSERS-ONLY — line text never crosses an Exchange): explode
+    lines to fixed-width ``(line_hash, line length, id, line_idx)`` rows →
+    one hash-aggregate per key keeping the first occurrence and the
+    occurrence count (map-side partials absorb hot lines) → an equi join
+    back on the key restricted to ``count > 1`` groups yields only the
+    LOSING occurrences (the duplicated tail — tiny relative to the
+    corpus) → per-doc loser-index sets join back to the original rows,
+    where the kept text is re-assembled locally by filtering the doc's own
+    line array (the heavy strings stay in their scan partition; the old
+    formulation shuffled every line's text twice — keeper join + ordered
+    re-assembly)."""
     lines = df.select(
         id_col, F.posexplode(F.split(F.col(text_col), "\n")).alias("line_idx", "line")
     )
-    eligible = lines.where(F.length("line") >= min_line_chars)
-    keepers = (
-        eligible.groupBy(
-            _word_hash(F.col("line"), hash_mode).alias("_h"),
-            F.length("line").alias("_hl"),
-        )
-        .agg(F.min(F.struct(id_col, "line_idx")).alias("_first"))
-        .select("_h", "_hl", "_first")
-    )
-    marked = eligible.join(
-        keepers,
-        (
-            (_word_hash(F.col("line"), hash_mode) == F.col("_h"))
-            & (F.length("line") == F.col("_hl"))
-        ),
-        "inner",
-    ).select(
+    eligible = lines.where(F.length("line") >= min_line_chars).select(
         id_col,
         "line_idx",
-        (
+        _word_hash(F.col("line"), hash_mode).alias("_h"),
+        F.length("line").alias("_hl"),
+    )
+    firsts = (
+        eligible.groupBy("_h", "_hl")
+        .agg(
+            F.min(F.struct(id_col, "line_idx")).alias("_first"),
+            F.count(F.lit(1)).alias("_occ"),
+        )
+        .where(F.col("_occ") > 1)
+        .select("_h", "_hl", "_first")
+    )
+    losers = eligible.join(firsts, ["_h", "_hl"]).where(
+        ~(
             (F.col(id_col) == F.col(f"_first.{id_col}"))
             & (F.col("line_idx") == F.col("_first.line_idx"))
-        ).alias("_keep"),
+        )
     )
-    resolved = lines.join(marked, [id_col, "line_idx"], "left").where(
-        F.coalesce(F.col("_keep"), F.lit(True))
+    drops = losers.groupBy(id_col).agg(
+        F.collect_set("line_idx").alias("_drop"),
+        F.count(F.lit(1)).alias("_nd"),
     )
-    rebuilt = resolved.groupBy(id_col).agg(
-        F.concat_ws(
-            "\n",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("line_idx", "line"))),
-                lambda s: s["line"],
-            ),
-        ).alias("text_clean"),
-        F.count(F.lit(1)).alias("_n_kept"),
+    out = df.join(drops, id_col, "left")
+    lines_arr = F.split(F.col(text_col), "\n")
+    rebuilt = F.concat_ws(
+        "\n", F.filter(lines_arr, lambda x, i: ~F.array_contains(F.col("_drop"), i))
     )
-    out = df.join(rebuilt, id_col, "left")
-    n_lines = F.size(F.split(F.col(text_col), "\n"))
     return (
         out.withColumn(
             # NULL text stays NULL (lossless for untouched documents, same
             # contract as exact_substring_dedup); '' means every line of a
-            # real document was dropped
+            # real document was dropped. Untouched documents (no loser
+            # lines) keep the ORIGINAL string — the split/join round-trip
+            # is lossless, so this equals the old re-assembly bitwise.
             "text_clean",
             F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
-            .otherwise(F.coalesce(F.col("text_clean"), F.lit(""))),
+            .when(F.col("_drop").isNull(), F.col(text_col))
+            .otherwise(rebuilt),
         )
         .withColumn(
             "n_lines_dropped",
             F.when(F.col(text_col).isNull(), F.lit(0))
-            .otherwise(n_lines - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .otherwise(F.coalesce(F.col("_nd"), F.lit(0)))
             .cast("long"),
         )
-        .drop("_n_kept")
+        .drop("_drop", "_nd")
     )
