@@ -106,6 +106,40 @@ def main() -> None:
         force(near_dedup_representatives(emb, pairs, id_col="vec_id").select("vec_id"))
         print(f"    components+anti-only {time.perf_counter() - t0:.2f}s", flush=True)
 
+    @stage("minhash_sigs_portable")
+    def _s8():
+        force(minhash_signatures(docs, hash_mode="portable"))
+
+    @stage("simhash_hashes_portable")
+    def _s9():
+        from pyppi_spark.operators.dedup import _simhash_halves
+
+        force(_simhash_halves(docs, "text", "doc_id", "portable"))
+
+    @stage("simhash_hashes_fast")
+    def _s10():
+        from pyppi_spark.operators.dedup import _simhash_halves
+
+        force(_simhash_halves(docs, "text", "doc_id", "fast"))
+
+    @stage("simhash_pairs_portable")
+    def _s11():
+        from pyppi_spark.operators.dedup import simhash_near_dup_pairs
+
+        force(simhash_near_dup_pairs(docs, max_hamming=6, hash_mode="portable"))
+
+    @stage("dsir_occ_portable")
+    def _s12():
+        from pyppi_spark.operators.dsir import hashed_gram_occurrences
+
+        force(hashed_gram_occurrences(docs, 256))
+
+    @stage("dsir_scores_portable")
+    def _s13():
+        from pyppi_spark.operators.dsir import dsir_scores
+
+        force(dsir_scores(docs, docs.where(F.col("lang") == "en"), n_buckets=256))
+
     names = sys.argv[1:] or list(stages)
     out = {}
     for name in names:

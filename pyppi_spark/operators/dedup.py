@@ -114,18 +114,25 @@ def minhash_signatures(
     sig[i] = min over shingles s of (a_i * H(s) + b_i) mod p, where H is a
     64-bit hash of the word n-gram.
 
-    Physical shape (everything codegen/window-exec — NO higher-order array
-    functions, which Spark evaluates interpreted and which measured ~10×
-    slower here):
+    Physical shape (everything codegen — NO higher-order array functions,
+    which Spark evaluates interpreted and measured ~10× slower here, and
+    NO per-doc window: the shifted-array-zip trick from quality_lm /
+    ngram_jaccard_pairs builds shingle rows with ZERO shuffle):
 
-    1. ``posexplode(split(text))`` → one row per word (codegen generate),
-       word hashed immediately so downstream carries longs, not strings;
-    2. shingle hash = hash of the (h0, lead(h1), lead(h2)) word-hash tuple
-       via a window over (doc, pos) — the same exchange is then reused by
-       the signature aggregation;
+    1. the token array zipped with its own left-shifted copies
+       (``slice``+``concat``+``arrays_zip`` — plain collection exprs,
+       codegen) and exploded ONCE, so row i carries (w_i … w_{i+n−1});
+       the previous ``lead``-window form exchanged and sorted the whole
+       token stream first (measured 1.5× the total query cost at sf1.0);
+    2. shingle hash = hash of the per-word-hash tuple, identical values
+       to the windowed form (word hashes NULL-guarded so missing tail
+       words stay NULL, exactly like ``lead`` past the end);
     3. one ``min`` aggregate per hash function in a single hash
        aggregation: map-side partials mean the shuffle carries 64 longs per
-       (doc × map partition), never the shingle sets.
+       (doc × map partition), never the shingle sets. There is
+       deliberately no shingle-level de-dup: ``min`` is duplicate-
+       insensitive, and the (id, shingle) ``dropDuplicates`` the first
+       version ran was a full extra exchange that changed nothing.
 
     Documents shorter than ``shingle_n`` words keep their ``pos == 0`` row
     (a partial shingle) so every document gets a signature.
@@ -136,23 +143,34 @@ def minhash_signatures(
     construction in SQL. Keep ``fast`` for production.
     """
     a, b = _minhash_coeffs(num_hashes, seed)
-    words = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(_normalize(F.col(text_col)), " ")).alias("_pos", "_wd"),
-    ).select(F.col(id_col), "_pos", _word_hash(F.col("_wd"), hash_mode).alias("_h0"))
-    w = Window.partitionBy(id_col).orderBy("_pos")
-    lead_cols = [F.lead("_h0", j).over(w).alias(f"_h{j}") for j in range(1, shingle_n)]
+    toks = F.split(_normalize(F.col(text_col)), " ")
+    n_w = F.size(toks)
+    zcols = [toks.alias("_w0")] + [
+        F.concat(
+            F.slice(toks, j + 1, F.greatest(n_w - F.lit(j), F.lit(0))),
+            F.array_repeat(F.lit(None).cast("string"), F.lit(j)),
+        ).alias(f"_w{j}")
+        for j in range(1, shingle_n)
+    ]
+    wh = [
+        F.when(
+            F.col(f"_s._w{j}").isNotNull(), _word_hash(F.col(f"_s._w{j}"), hash_mode)
+        )
+        for j in range(shingle_n)
+    ]
     sh = (
-        words.select(F.col(id_col), "_pos", "_h0", *lead_cols)
-        .where(F.col(f"_h{shingle_n - 1}").isNotNull() | (F.col("_pos") == 0))
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.arrays_zip(*zcols)).alias("_pos", "_s"),
+        )
+        .where(F.col(f"_s._w{shingle_n - 1}").isNotNull() | (F.col("_pos") == 0))
         .select(
             F.col(id_col),
             F.pmod(
-                _word_hash(F.concat_ws("|", *[f"_h{j}" for j in range(shingle_n)]), hash_mode),
+                _word_hash(F.concat_ws("|", *wh), hash_mode),
                 F.lit(MERSENNE_P),
             ).alias("_h"),
         )
-        .dropDuplicates([id_col, "_h"])
     )
     mins = [
         F.min(
