@@ -58,7 +58,20 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    """Documents scan, spread across cores when the file is under-split.
+
+    The testdata parquet is ONE row group per file, so the scan is 1-2
+    partitions regardless of maxPartitionBytes — and every doc-scan stage
+    (regex screens, md5 portable hashing, shingle explodes) then runs on
+    1-2 of 32 cores. A deterministic hash repartition on doc_id (~15 MB of
+    (id, text) at sf1.0) spreads that work; the guard makes it a NO-OP on
+    real corpora whose scans already have enough splits, so nothing extra
+    is ever shuffled at production scale (input-skew escape, guide §2.5)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < n:
+        docs = docs.repartition(n, "doc_id")
+    return docs
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -114,25 +114,25 @@ def minhash_signatures(
     sig[i] = min over shingles s of (a_i * H(s) + b_i) mod p, where H is a
     64-bit hash of the word n-gram.
 
-    Physical shape (everything codegen — NO higher-order array functions,
-    which Spark evaluates interpreted and measured ~10× slower here, and
-    NO per-doc window: the shifted-array-zip trick from quality_lm /
-    ngram_jaccard_pairs builds shingle rows with ZERO shuffle):
+    Physical shape (everything codegen/window-exec — NO higher-order array
+    functions, which Spark evaluates interpreted and which measured ~10×
+    slower here):
 
-    1. the token array zipped with its own left-shifted copies
-       (``slice``+``concat``+``arrays_zip`` — plain collection exprs,
-       codegen) and exploded ONCE, so row i carries (w_i … w_{i+n−1});
-       the previous ``lead``-window form exchanged and sorted the whole
-       token stream first (measured 1.5× the total query cost at sf1.0);
-    2. shingle hash = hash of the per-word-hash tuple, identical values
-       to the windowed form (word hashes NULL-guarded so missing tail
-       words stay NULL, exactly like ``lead`` past the end);
+    1. ``posexplode(split(text))`` → one row per word (codegen generate),
+       word hashed immediately so downstream carries longs, not strings;
+    2. shingle hash = hash of the (h0, lead(h1), lead(h2)) word-hash tuple
+       via a window over (doc, pos). (The shifted-array-zip form that
+       replaced windows elsewhere was A/B-measured HERE at 2.6× the cost:
+       zipping/exploding structs of three STRING arrays moves ~10× the
+       bytes per shingle row that this long-carrying window does — the
+       zip trick wins only when the alternative window carries strings.)
     3. one ``min`` aggregate per hash function in a single hash
        aggregation: map-side partials mean the shuffle carries 64 longs per
        (doc × map partition), never the shingle sets. There is
        deliberately no shingle-level de-dup: ``min`` is duplicate-
        insensitive, and the (id, shingle) ``dropDuplicates`` the first
-       version ran was a full extra exchange that changed nothing.
+       version ran was a full extra exchange that changed nothing
+       (A/B: value-diff 0 rows, one Exchange fewer in the plan).
 
     Documents shorter than ``shingle_n`` words keep their ``pos == 0`` row
     (a partial shingle) so every document gets a signature.
@@ -143,31 +143,19 @@ def minhash_signatures(
     construction in SQL. Keep ``fast`` for production.
     """
     a, b = _minhash_coeffs(num_hashes, seed)
-    toks = F.split(_normalize(F.col(text_col)), " ")
-    n_w = F.size(toks)
-    zcols = [toks.alias("_w0")] + [
-        F.concat(
-            F.slice(toks, j + 1, F.greatest(n_w - F.lit(j), F.lit(0))),
-            F.array_repeat(F.lit(None).cast("string"), F.lit(j)),
-        ).alias(f"_w{j}")
-        for j in range(1, shingle_n)
-    ]
-    wh = [
-        F.when(
-            F.col(f"_s._w{j}").isNotNull(), _word_hash(F.col(f"_s._w{j}"), hash_mode)
-        )
-        for j in range(shingle_n)
-    ]
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(_normalize(F.col(text_col)), " ")).alias("_pos", "_wd"),
+    ).select(F.col(id_col), "_pos", _word_hash(F.col("_wd"), hash_mode).alias("_h0"))
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    lead_cols = [F.lead("_h0", j).over(w).alias(f"_h{j}") for j in range(1, shingle_n)]
     sh = (
-        df.select(
-            F.col(id_col),
-            F.posexplode(F.arrays_zip(*zcols)).alias("_pos", "_s"),
-        )
-        .where(F.col(f"_s._w{shingle_n - 1}").isNotNull() | (F.col("_pos") == 0))
+        words.select(F.col(id_col), "_pos", "_h0", *lead_cols)
+        .where(F.col(f"_h{shingle_n - 1}").isNotNull() | (F.col("_pos") == 0))
         .select(
             F.col(id_col),
             F.pmod(
-                _word_hash(F.concat_ws("|", *wh), hash_mode),
+                _word_hash(F.concat_ws("|", *[f"_h{j}" for j in range(shingle_n)]), hash_mode),
                 F.lit(MERSENNE_P),
             ).alias("_h"),
         )
@@ -498,7 +486,9 @@ def winnow_fingerprints_kernel(
         raise ValueError(f"unknown hash_mode {hash_mode!r}")
     id_type = df.schema[id_col].dataType.simpleString()
     staged = df.select(F.col(id_col).alias("_id"), _normalize(F.col(text_col)).alias("_t"))
-    if repartition_to:
+    # skip when the input already has that many partitions (e.g. the
+    # caller pre-spread the scan) — avoids a redundant second exchange
+    if repartition_to and df.rdd.getNumPartitions() < repartition_to:
         staged = staged.repartition(repartition_to)
 
     B = np.uint64(1099511628211)  # FNV-1a prime as the polynomial base
@@ -615,11 +605,20 @@ def ngram_jaccard_pairs(
        (``slice``+``concat`` — plain collection exprs, codegen) and
        exploded ONCE, so row i carries (w_i … w_{i+n−1}) with NO per-doc
        window — no token-row exchange+sort, no giant-document sort
-       straggler (the quality_lm shifted-array-zip lesson); the gram is a
-       plain string concat — identity is the exact gram text;
+       straggler (the quality_lm shifted-array-zip lesson); gram identity
+       is the 64-bit ``xxhash64`` of the word tuple — tokens cannot
+       contain the split character, so (w0…wn−1) ↔ gram text is a
+       bijection, and the multi-arg hash skips nulls exactly like the
+       ``concat_ws`` re-assembly does for short-doc partial grams. The
+       hash (not the gram string) is what deduplicates, joins, and
+       crosses every exchange: ~35 M intermediate join rows per 680k
+       candidates carry 8 bytes instead of a ~20-byte string (guide §2.3
+       "shuffle keys instead of payloads"). A 64-bit collision would
+       merge two grams (P ≈ n²/2⁶⁵ per doc — zero in practice; the DuckDB
+       value oracle over the full pipeline would catch one);
     2. set sizes = one count per doc;
     3. |∩| per pair = candidate_pairs ⋈ grams(a) ⋈ grams(b) matched on the
-       gram string, counted; |∪| = n_a + n_b − |∩| (so pairs with zero
+       gram hash, counted; |∪| = n_a + n_b − |∩| (so pairs with zero
        overlap drop out before the threshold filter, which they could
        never pass).
     """
@@ -647,9 +646,7 @@ def ngram_jaccard_pairs(
         )
         .select(
             F.col(id_col),
-            F.concat_ws(
-                " ", *[F.col(f"_s._w{j}") for j in range(shingle_n)]
-            ).alias("_g"),
+            F.xxhash64(*[F.col(f"_s._w{j}") for j in range(shingle_n)]).alias("_g"),
         )
         .dropDuplicates([id_col, "_g"])
     )

@@ -55,6 +55,18 @@ def build_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalescing floor. The default (1m) is tuned for byte-bound
+        # stages; this engine's post-shuffle stages are often COMPUTE-dense
+        # on tiny rows (a 1.2 MB table of simhash keys explodes 28-way into
+        # a pair join), and the 1 MB floor collapses them to 1-2 partitions
+        # — 30 idle cores. 64k keeps such stages parallel; with
+        # parallelismFirst (default true) partition count stays capped at
+        # the parallelism target, so at production scale (partitions >> the
+        # floor) the setting is inert. Env-overridable for cluster tuning.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")

@@ -56,16 +56,21 @@ def test_plan_invariants_all_queries(spark):
     assert not py_row, f"row-at-a-time Python in: {py_row}"
     bnlj = {n for n, r in rows.items() if r["bnl_joins"] > 0}
     assert bnlj <= BNLJ_ALLOWED, f"unexpected BroadcastNestedLoopJoin in: {bnlj - BNLJ_ALLOWED}"
+    # "Exchange-free" = no COMPUTED shuffle; the deliberate input-spread
+    # repartition (REPARTITION_BY_NUM over an under-split scan, a no-op at
+    # production split counts) is counted separately and capped at one
     for n in ZERO_SHUFFLE:
         r = rows[n]
         assert r["shuffle_exchanges"] == r["range_exchanges"] == 0, (
             f"{n} must stay Exchange-free, got {r}"
         )
+        assert r["spread_exchanges"] <= 1, f"{n} spread more than once: {r}"
     for n in KERNEL_ZERO_SHUFFLE:
         r = rows[n]
         assert r["shuffle_exchanges"] == 0 and (
             r["map_in_pandas"] + r["arrow_eval"] >= 1
         ), f"{n} must be a zero-shuffle Arrow kernel, got {r}"
+        assert r["spread_exchanges"] <= 1, f"{n} spread more than once: {r}"
 
 
 def test_pushdown_and_column_pruning(spark):

@@ -30,7 +30,12 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
 COUNTERS = [
+    # deliberate input-spread repartitions (REPARTITION_BY_NUM — the
+    # under-split-scan escape, a no-op at production split counts) are
+    # counted separately from computed shuffles so the Exchange-free
+    # invariant keeps catching ACCIDENTAL exchanges
     ("shuffle_exchanges", "Exchange hashpartitioning"),
+    ("spread_exchanges", "REPARTITION_BY_NUM"),
     ("range_exchanges", "Exchange rangepartitioning"),
     ("broadcast_exchanges", "BroadcastExchange"),
     ("sort_merge_joins", "SortMergeJoin"),
@@ -61,6 +66,14 @@ def audit(names: list[str] | None = None, spark=None) -> dict[str, dict[str, int
         try:
             plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
             row = {k: plan.count(pat) for k, pat in COUNTERS}
+            # a hash-partitioned REPARTITION_BY_NUM line is a deliberate
+            # spread, not a computed shuffle — reclassify
+            spread_hash = sum(
+                1
+                for ln in plan.splitlines()
+                if "Exchange hashpartitioning" in ln and "REPARTITION_BY_NUM" in ln
+            )
+            row["shuffle_exchanges"] -= spread_hash
             row["err"] = 0
         except Exception:
             row = {k: -1 for k, _ in COUNTERS}
