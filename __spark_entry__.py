@@ -67,9 +67,24 @@ def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     (id, text) at sf1.0) spreads that work; the guard makes it a NO-OP on
     real corpora whose scans already have enough splits, so nothing extra
     is ever shuffled at production scale (input-skew escape, guide §2.5)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = f"{sf_dir}/documents.parquet"
+    docs = spark.read.parquet(path)
     n = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < n:
+    # size gate: below ~4 MB the per-stage scheduling cost of the spread
+    # exceeds the parallelism it buys (measured at sf0.1: split_leakage
+    # +1.6 s from repeated spread stages vs −3 s at sf1.0 from 32-wide
+    # hashing), so tiny inputs keep the unspread plan
+    try:
+        if os.path.isdir(path):
+            size = sum(
+                os.path.getsize(os.path.join(path, f)) for f in os.listdir(path)
+            )
+        else:
+            size = os.path.getsize(path)
+        big_enough = size >= 4 * 1024 * 1024
+    except OSError:
+        big_enough = True
+    if big_enough and docs.rdd.getNumPartitions() < n:
         docs = docs.repartition(n, "doc_id")
     return docs
 

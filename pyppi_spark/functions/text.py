@@ -60,10 +60,13 @@ def bpe_token_count(col: str | Column = "text") -> Column:
 def char_stats(col: str | Column = "text") -> dict[str, Column]:
     c = F.col(col) if isinstance(col, str) else col
     n = F.length(c).cast("double")
-    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", "")).cast("double")
-    digit = F.length(F.regexp_replace(c, r"[^0-9]", "")).cast("double")
-    punct = F.length(F.regexp_replace(c, r"[^.,;:!?]", "")).cast("double")
-    space = F.length(F.regexp_replace(c, r"[^ ]", "")).cast("double")
+    # counts via regexp_count (value-identical to length-after-strip:
+    # every match is one char) — avoids allocating a stripped copy of the
+    # text per ratio, which dominated the corpus_report projection
+    alpha = F.regexp_count(c, F.lit(r"[A-Za-z]")).cast("double")
+    digit = F.regexp_count(c, F.lit(r"[0-9]")).cast("double")
+    punct = F.regexp_count(c, F.lit(r"[.,;:!?]")).cast("double")
+    space = F.regexp_count(c, F.lit(r" ")).cast("double")
     safe_n = F.when(n > 0, n).otherwise(F.lit(1.0))
     return {
         "n_chars": n.cast("long"),
