@@ -130,9 +130,11 @@ def minhash_signatures(
        aggregation: map-side partials mean the shuffle carries 64 longs per
        (doc × map partition), never the shingle sets. There is
        deliberately no shingle-level de-dup: ``min`` is duplicate-
-       insensitive, and the (id, shingle) ``dropDuplicates`` the first
-       version ran was a full extra exchange that changed nothing
-       (A/B: value-diff 0 rows, one Exchange fewer in the plan).
+       insensitive, so the (id, shingle) ``dropDuplicates`` the first
+       version ran was dead weight — Catalyst's RemoveRedundantAggregates
+       was already eliding it (physical plans identical with and without;
+       A/B value-diff 0 rows), it is gone from the code so the logical
+       plan says what the physical plan does.
 
     Documents shorter than ``shingle_n`` words keep their ``pos == 0`` row
     (a partial shingle) so every document gets a signature.
