@@ -228,64 +228,92 @@ def align_conversations(
     position carrying the matched turn indexes, the op, its score, and the
     conversation's total alignment score.
 
-    Scale notes: one shuffle per side on the entity key (cogroup); a
-    conversation pair is a single Arrow group — the documented straggler
-    risk is a pathologically long single conversation (DP is O(n·m) in it),
-    the same whole-entity-locality trade the merge as-of strategy makes.
-    Pairs whose matrix would exceed ``max_dp_cells`` (default 25M cells ≈
+    Scale notes: one shuffle per side on the entity key; a conversation is
+    a single row of collected turn arrays — the documented straggler risk
+    is a pathologically long single conversation (DP is O(n·m) in it), the
+    same whole-entity-locality trade the merge as-of strategy makes. Pairs
+    whose matrix would exceed ``max_dp_cells`` (default 25M cells ≈
     200 MB) switch to the Hirschberg linear-memory DP
     (``_nw_align_linear``): same optimal total score, O(turns) memory,
     co-optimal op sequences may differ from the full traceback at block
     boundaries.
+
+    Physical shape (changed r07): the cogrouped ``applyInPandas`` form
+    invoked Python once PER CONVERSATION (~0.4 ms of per-group overhead ×
+    15k conversations at 1M events ≈ the whole query cost). Now each side
+    collapses to one row per conversation — ``sort_array(collect_list(
+    struct(ts, idx, text, role)))``, a plain hash aggregation whose struct
+    order equals the old per-group mergesort because (ts, idx) is the
+    repo-wide total order — the sides full-outer join on the conversation
+    key (absent side ⇒ empty arrays, exactly the cogroup's empty-frame
+    case), and ONE ``mapInPandas`` kernel loops conversations inside each
+    Arrow batch: per-group Python dispatch becomes a per-row numpy loop.
+    Ops accumulate into flat column lists (the old per-op dict rows were a
+    second per-group cost). Same DP kernels, same tie priority, same
+    output rows.
     """
     cols = [conv_col, ts_col, idx_col, text_col, role_col]
-    # the right side gets FRESH attribute ids (alias → new ExprId): when
-    # both sides derive from the same plan (align a conversation against a
-    # filtered version of itself), shared attributes make the analyzer
-    # collapse the right side's columns to the grouping key
-    r_cols = {c: f"_r_{c}" for c in cols}
 
-    def kernel(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
-        if len(r):
-            r = r.rename(columns={v: k for k, v in r_cols.items()})
-        # an absent group arrives as an empty frame (possibly column-less)
-        l = l.sort_values([ts_col, idx_col], kind="mergesort") if len(l) else None
-        r = r.sort_values([ts_col, idx_col], kind="mergesort") if len(r) else None
-        cid = (l if l is not None else r)[conv_col].iloc[0]
-        lt = l[text_col].tolist() if l is not None else []
-        rt = r[text_col].tolist() if r is not None else []
-        lr = l[role_col].tolist() if l is not None else []
-        rr = r[role_col].tolist() if r is not None else []
-        algo = (
-            _nw_align_linear
-            if len(lt) * len(rt) > max_dp_cells
-            else _nw_align
+    def packed(df: DataFrame, tag: str) -> DataFrame:
+        turns = F.struct(
+            F.col(ts_col).alias("ts"),
+            F.col(idx_col).cast("long").alias("idx"),
+            F.col(text_col).alias("text"),
+            F.col(role_col).alias("role"),
         )
-        ops, total = algo(lt, rt, lr, rr, match, sub_role, mismatch, gap)
-        l_idx = l[idx_col].to_numpy() if l is not None else np.array([], dtype=np.int64)
-        r_idx = r[idx_col].to_numpy() if r is not None else np.array([], dtype=np.int64)
-        return pd.DataFrame(
-            [
-                {
-                    "conv_id": cid,
-                    "left_idx": int(l_idx[a]) if a is not None else None,
-                    "right_idx": int(r_idx[b]) if b is not None else None,
-                    "op": kind,
-                    "pair_score": ps,
-                    "total_score": total,
-                }
-                for a, b, kind, ps in ops
-            ],
-            columns=[f.name for f in ALIGN_SCHEMA.fields],
+        return (
+            df.select(F.col(conv_col).alias("_cid"), turns.alias("_t"))
+            .groupBy("_cid")
+            .agg(F.sort_array(F.collect_list("_t")).alias(f"_{tag}"))
         )
 
-    return (
-        left.select(*cols)
-        .groupBy(conv_col)
-        .cogroup(
-            right.select(*[F.col(c).alias(r_cols[c]) for c in cols]).groupBy(
-                r_cols[conv_col]
-            )
-        )
-        .applyInPandas(kernel, schema=ALIGN_SCHEMA)
+    joined = packed(left.select(*cols), "l").join(
+        packed(right.select(*cols), "r").withColumnRenamed("_cid", "_cid_r"),
+        F.col("_cid") == F.col("_cid_r"),
+        "full_outer",
+    ).select(
+        F.coalesce("_cid", "_cid_r").alias("_cid"), "_l", "_r"
     )
+
+    def kernel(batches):
+        for b in batches:
+            out_cid: list = []
+            out_li: list = []
+            out_ri: list = []
+            out_op: list = []
+            out_ps: list = []
+            out_ts: list = []
+            for cid, lrow, rrow in zip(b["_cid"], b["_l"], b["_r"]):
+                lrow = lrow if lrow is not None and len(lrow) else []
+                rrow = rrow if rrow is not None and len(rrow) else []
+                lt = [t["text"] for t in lrow]
+                rt = [t["text"] for t in rrow]
+                lr = [t["role"] for t in lrow]
+                rr = [t["role"] for t in rrow]
+                algo = (
+                    _nw_align_linear
+                    if len(lt) * len(rt) > max_dp_cells
+                    else _nw_align
+                )
+                ops, total = algo(lt, rt, lr, rr, match, sub_role, mismatch, gap)
+                l_idx = [t["idx"] for t in lrow]
+                r_idx = [t["idx"] for t in rrow]
+                for a, bb, kind, ps in ops:
+                    out_cid.append(cid)
+                    out_li.append(int(l_idx[a]) if a is not None else None)
+                    out_ri.append(int(r_idx[bb]) if bb is not None else None)
+                    out_op.append(kind)
+                    out_ps.append(ps)
+                    out_ts.append(total)
+            yield pd.DataFrame(
+                {
+                    "conv_id": out_cid,
+                    "left_idx": pd.array(out_li, dtype="Int64"),
+                    "right_idx": pd.array(out_ri, dtype="Int64"),
+                    "op": out_op,
+                    "pair_score": out_ps,
+                    "total_score": out_ts,
+                }
+            )
+
+    return joined.mapInPandas(kernel, schema=ALIGN_SCHEMA)
