@@ -613,16 +613,30 @@ def ngram_jaccard_pairs(
        bijection, and the multi-arg hash skips nulls exactly like the
        ``concat_ws`` re-assembly does for short-doc partial grams. The
        hash (not the gram string) is what deduplicates, joins, and
-       crosses every exchange: ~35 M intermediate join rows per 680k
-       candidates carry 8 bytes instead of a ~20-byte string (guide §2.3
-       "shuffle keys instead of payloads"). A 64-bit collision would
-       merge two grams (P ≈ n²/2⁶⁵ per doc — zero in practice; the DuckDB
-       value oracle over the full pipeline would catch one);
-    2. set sizes = one count per doc;
-    3. |∩| per pair = candidate_pairs ⋈ grams(a) ⋈ grams(b) matched on the
-       gram hash, counted; |∪| = n_a + n_b − |∩| (so pairs with zero
-       overlap drop out before the threshold filter, which they could
-       never pass).
+       crosses every exchange (guide §2.3 "shuffle keys instead of
+       payloads"). A 64-bit collision would merge two grams (P ≈ n²/2⁶⁵
+       per doc — zero in practice; the DuckDB value oracle over the full
+       pipeline would catch one);
+    2. each candidate document's DISTINCT gram-hash SET becomes one array
+       row (``collect_set`` — dedups in the aggregation, so there is no
+       separate (id, gram) dropDuplicates exchange; the aggregation itself
+       is exchange-free over the doc-spread scan, whose hash(doc_id)
+       partitioning already clusters it);
+    3. |∩| per pair = ``size(array_intersect(grams_a, grams_b))`` after
+       attaching the two arrays by doc-id joins (broadcastable whenever
+       the candidate-doc gram table is small; otherwise two fixed-width
+       equi joins). |∪| = n_a + n_b − |∩| with n = ``size`` of the same
+       arrays. The earlier row-form (explode grams, join candidate pairs
+       to a-grams then b-grams on the gram key, count) shuffled one row
+       per (pair, shared gram) — measured ~35 M rows / 8.4 s for 680k
+       candidates at sf1.0 vs ~1 s for this array form, which moves one
+       ~n_grams·8-byte array per candidate doc and evaluates a codegen
+       ``array_intersect`` per pair. Zero-overlap pairs are filtered
+       explicitly (the old inner gram join never produced them), so
+       output is identical for ANY threshold. Trade documented: a
+       pathologically long document makes one wide array row (same
+       whole-doc locality class as the winnow kernel); the row form
+       handled that by splitting rows but paid 35× the row count.
     """
     # no .distinct(): the left_semi join below never multiplies left rows
     # for duplicate right keys, so the extra exchange+agg bought nothing
@@ -650,21 +664,24 @@ def ngram_jaccard_pairs(
             F.col(id_col),
             F.xxhash64(*[F.col(f"_s._w{j}") for j in range(shingle_n)]).alias("_g"),
         )
-        .dropDuplicates([id_col, "_g"])
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
-    # gram is part of the SECOND join's equi key — a post-join filter would
-    # cross the two gram sets per pair before filtering
-    inter = (
+    gram_sets = sh.groupBy(id_col).agg(F.collect_set("_g").alias("_gs"))
+    attached = (
         candidate_pairs
-        .join(sh.select(F.col(id_col).alias("a"), "_g"), "a")
-        .join(sh.select(F.col(id_col).alias("b"), "_g"), ["b", "_g"])
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("_inter"))
+        .join(gram_sets.select(F.col(id_col).alias("a"), F.col("_gs").alias("_ga")), "a")
+        .join(gram_sets.select(F.col(id_col).alias("b"), F.col("_gs").alias("_gb")), "b")
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("_ga", "_gb")).alias("_inter"),
+            F.size("_ga").alias("_na"),
+            F.size("_gb").alias("_nb"),
+        )
     )
     return (
-        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("_n").alias("_na")), "a")
-        .join(sizes.select(F.col(id_col).alias("b"), F.col("_n").alias("_nb")), "b")
+        # the old gram-row inner join emitted nothing for zero-overlap
+        # pairs; filter them so output matches for any threshold
+        attached.where(F.col("_inter") > 0)
         .withColumn("jaccard", F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter")))
         .where(F.col("jaccard") >= F.lit(threshold))
         .select("a", "b", "jaccard")
