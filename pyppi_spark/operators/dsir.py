@@ -9,7 +9,7 @@ classifier — the feature space, hashed unigrams+bigrams, is the same; the
 
 Reference analog: the corpus-derived frequency tables the reference
 builds once and re-applies per row
-(``/root/reference/pyPPI/surfaceComplementarity/interfacePeriphery.py``)
+(``/root/reference/pyPPI/surfaceComplementarity/interfaceDepth.py``)
 — here there are TWO tables (target and raw) and the score is their
 log-ratio.
 

@@ -34,7 +34,7 @@ bounded-memory plan, not a sketch).
 
 Reference analog: the corpus-frequency tables the reference builds once
 and reuses (``/root/reference/pyPPI/surfaceComplementarity/
-interfacePeriphery.py``) — here built without the full-vocabulary
+interfaceDepth.py``) — here built without the full-vocabulary
 shuffle.
 """
 

@@ -6,7 +6,7 @@ low surprisal = boilerplate loops.  Both tails get cut before training.
 
 Reference analog: the corpus-derived per-residue propensity tables the
 reference builds in one pass and then re-applies to every structure
-(``/root/reference/pyPPI/surfaceComplementarity/interfacePeriphery.py``
+(``/root/reference/pyPPI/surfaceComplementarity/interfaceDepth.py``
 builds frequency tables, then scores rows against them) — here the
 "table" is the corpus token-frequency distribution.
 
